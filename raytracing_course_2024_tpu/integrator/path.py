@@ -1,0 +1,225 @@
+"""Iterative wavefront path tracer.
+
+The reference's recursive estimator (src/rendering.rs:86-127) telescopes into
+an iterative loop carrying (ray, throughput T, radiance L, alive):
+
+    L += T * emission_at_hit          (every hit; lights are collected on hit,
+                                       not with shadow rays -- one-sample MIS)
+    T *= brdf(l,n,v) * (l.n) / pdf    (mixture-sampled lobe)
+    L += T_prev * bg on miss, then the lane dies
+
+run as a ``lax.scan`` over ``ray_depth - 1`` full bounces plus one final
+intersect+emission epilogue (the reference's innermost call returns black at
+depth 0, so its last sampled direction never contributes --
+src/rendering.rs:93-95; skipping that wasted sample saves a whole
+sampling+light-pdf pass).
+
+Delta materials from the text scenes (absent in reference HEAD, required by
+its inputs -- SURVEY.md section 2.2):
+
+* MIRROR: l = reflect(v, n), T *= color.
+* DIELECTRIC: Schlick reflect/refract split by a uniform draw; on refraction
+  into the object (outer->inner), T *= color; total internal reflection
+  falls back to reflection.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.brdf import eval_brdf
+from ..ops.camera import CameraArrays, generate_rays
+from ..ops.sampling import sample_mixture
+from ..ops.scene_intersect import nearest_hit_dense, surface_detail
+from ..ops.vec import Vec3, reflect, where3
+from ..scene.types import DIELECTRIC, MIRROR, SceneArrays, SceneStatics
+
+
+class TraceConfig(NamedTuple):
+    """Static (compile-time) integrator parameters."""
+
+    ray_depth: int
+    bg_color: tuple  # (r, g, b)
+    max_tries: int = 8
+    backend: str = "dense"  # "dense" | "bvh"
+
+
+def _nearest(ro, rd, scn, statics, cfg: TraceConfig):
+    if cfg.backend == "bvh" and scn.bvh is not None:
+        from ..ops.traverse import nearest_hit_bvh
+
+        return nearest_hit_bvh(ro, rd, scn, statics)
+    return nearest_hit_dense(ro, rd, scn, statics)
+
+
+class _PathState(NamedTuple):
+    ro: Vec3
+    rd: Vec3
+    throughput: Vec3
+    radiance: Vec3
+    alive: jnp.ndarray
+
+
+def _collect_hit(state: _PathState, scn, statics, cfg):
+    """Intersect + accumulate emission/background. Returns (state', surf, hit)."""
+    hit = _nearest(state.ro, state.rd, scn, statics, cfg)
+    surf = surface_detail(state.ro, state.rd, hit, scn, statics)
+    bg = Vec3(
+        jnp.full_like(state.ro.x, cfg.bg_color[0]),
+        jnp.full_like(state.ro.x, cfg.bg_color[1]),
+        jnp.full_like(state.ro.x, cfg.bg_color[2]),
+    )
+    miss = state.alive & ~hit.valid
+    on_hit = state.alive & hit.valid
+    add = where3(
+        miss,
+        state.throughput.mul(bg),
+        where3(on_hit, state.throughput.mul(surf.emission), Vec3.full(0.0, state.ro)),
+    )
+    radiance = state.radiance + add
+    return state._replace(radiance=radiance, alive=on_hit), surf, hit
+
+
+def _bounce(
+    state: _PathState,
+    key: jax.Array,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    cfg: TraceConfig,
+) -> _PathState:
+    state, surf, _hit = _collect_hit(state, scn, statics, cfg)
+    alive = state.alive
+    v = -state.rd  # rays are kept unit-length
+    n = surf.n_geom
+
+    is_mirror = surf.mkind == MIRROR
+    is_diel = surf.mkind == DIELECTRIC
+    is_delta = is_mirror | is_diel
+    need_sample = alive & ~is_delta
+
+    k_mix, k_diel = jax.random.split(key)
+    l_s, pdf, ok = sample_mixture(
+        k_mix,
+        surf.point,
+        n,
+        surf.n_shade,
+        v,
+        surf.roughness,
+        scn,
+        statics,
+        need=need_sample,
+        max_tries=cfg.max_tries,
+    )
+    f = eval_brdf(l_s, n, v, surf.color, surf.metallic, surf.roughness, surf.mkind)
+    cos_l = jnp.maximum(l_s.dot(n), 0.0)
+    inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
+    w_sampled = f * (cos_l * inv_pdf)
+
+    # --- mirror ---
+    l_mirror = reflect(v, n)
+    w_mirror = surf.color
+
+    # --- dielectric ---
+    cos_i = jnp.clip(v.dot(n), 0.0, 1.0)
+    eta = jnp.where(surf.is_outer, 1.0 / surf.ior, surf.ior)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    r0 = jnp.square((eta - 1.0) / (eta + 1.0))
+    refl_p = r0 + (1.0 - r0) * jnp.power(1.0 - cos_i, 5.0)
+    u = jax.random.uniform(k_diel, cos_i.shape, jnp.float32)
+    do_reflect = tir | (u < refl_p)
+    l_refr = (state.rd * eta + n * (eta * cos_i - cos_t)).normalize(eps=1e-20)
+    l_diel = where3(do_reflect, l_mirror, l_refr)
+    one = Vec3.full(1.0, like=surf.color)
+    w_diel = where3(do_reflect | ~surf.is_outer, one, surf.color)
+
+    next_dir = where3(is_mirror, l_mirror, where3(is_diel, l_diel, l_s))
+    weight = where3(is_mirror, w_mirror, where3(is_diel, w_diel, w_sampled))
+
+    # Scattered/reflected rays restart from the EPS-backed-off point on the
+    # incoming side (src/rendering.rs:98); *transmitted* rays must instead
+    # continue from just past the surface or they re-hit it immediately.
+    transmitted = is_diel & ~do_reflect
+    point_back = state.ro + state.rd * (surf.t + 1e-4)
+    next_origin = where3(transmitted, point_back, surf.point)
+
+    new_alive = alive & (is_delta | ok)
+    zero = Vec3.full(0.0, like=weight)
+    throughput = state.throughput.mul(where3(new_alive, weight, zero))
+    return _PathState(
+        ro=next_origin,
+        rd=next_dir,
+        throughput=throughput,
+        radiance=state.radiance,
+        alive=new_alive,
+    )
+
+
+def trace_paths(
+    key: jax.Array,
+    ro: Vec3,
+    rd: Vec3,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    cfg: TraceConfig,
+) -> Vec3:
+    """Radiance estimate for a batch of rays. Returns Vec3 of (B,)."""
+    b = ro.x.shape[0]
+    ones = jnp.ones((b,), jnp.float32)
+    zeros = jnp.zeros((b,), jnp.float32)
+    state = _PathState(
+        ro=ro,
+        rd=rd,
+        throughput=Vec3(ones, ones, ones),
+        radiance=Vec3(zeros, zeros, zeros),
+        alive=jnp.ones((b,), bool),
+    )
+
+    if cfg.ray_depth > 1:
+
+        def step(st, i):
+            return _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg), None
+
+        state, _ = jax.lax.scan(step, state, jnp.arange(cfg.ray_depth - 1))
+
+    # final depth level: emission/background only (deeper recursion is black)
+    state, _, _ = _collect_hit(state, scn, statics, cfg)
+    return state.radiance
+
+
+def render_pixels(
+    key: jax.Array,
+    pix_x: jnp.ndarray,
+    pix_y: jnp.ndarray,
+    cam: CameraArrays,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    cfg: TraceConfig,
+    width: int,
+    height: int,
+    samples: int,
+) -> jnp.ndarray:
+    """Average radiance over ``samples`` jittered rays per pixel.
+
+    Returns (B, 3) f32. Sample loop = lax.scan (sequential, accumulating),
+    mirroring the reference's per-pixel sample loop (src/rendering.rs:52-62)
+    but vectorized over the whole pixel batch.
+    """
+
+    def one_sample(acc, s):
+        k = jax.random.fold_in(key, s)
+        k_cam, k_path = jax.random.split(k)
+        ro, rd = generate_rays(cam, pix_x, pix_y, width, height, k_cam)
+        rad = trace_paths(k_path, ro, rd, scn, statics, cfg)
+        return acc + rad, None
+
+    zeros = jnp.zeros(pix_x.shape, jnp.float32)
+    total, _ = jax.lax.scan(
+        one_sample, Vec3(zeros, zeros, zeros), jnp.arange(samples)
+    )
+    avg = total * (1.0 / samples)
+    return jnp.stack([avg.x, avg.y, avg.z], axis=-1)

@@ -1,0 +1,125 @@
+"""Single-host render orchestration.
+
+Replaces the reference's rayon row-parallel frame loop
+(src/rendering.rs:21-69) with: flatten pixels -> fixed-size ray batches ->
+one jitted ``render_pixels`` program reused across batches (batch offsets are
+traced arguments, so there is exactly one compile per (scene shape, spp)).
+
+Multi-chip tiling/spp-sharding lives in ``parallel.shard``; this module is
+the single-device engine it calls per shard.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..integrator.path import TraceConfig, render_pixels
+from ..ops.camera import camera_arrays
+from ..ops.tonemap import color_to_u8
+from ..scene.build import build_scene_arrays
+from ..scene.types import SceneDesc
+
+log = logging.getLogger("rt_tpu")
+
+DEFAULT_BATCH = 16384
+BVH_THRESHOLD = 2048  # finite prims above this use the BVH backend
+
+
+class Renderer:
+    """Compiles once per scene-shape; renders frames / tiles on demand."""
+
+    def __init__(
+        self,
+        desc: SceneDesc,
+        backend: str | None = None,
+        batch_size: int = DEFAULT_BATCH,
+        max_tries: int = 8,
+    ):
+        self.desc = desc
+        self.settings = desc.settings
+        arrays, statics = build_scene_arrays(desc)
+        self.statics = statics
+        if backend is None:
+            backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
+        if backend == "bvh":
+            from ..ops.bvh import attach_bvh
+
+            arrays = attach_bvh(arrays, statics)
+        self.arrays = jax.tree.map(jnp.asarray, arrays)
+        self.backend = backend
+        self.batch_size = batch_size
+        self.cam = camera_arrays(self.settings.camera)
+        self.cfg = TraceConfig(
+            ray_depth=self.settings.ray_depth,
+            bg_color=tuple(self.settings.bg_color),
+            max_tries=max_tries,
+            backend=backend,
+        )
+
+        def _render_batch(key, pix_x, pix_y, arrays, samples: int):
+            return render_pixels(
+                key,
+                pix_x,
+                pix_y,
+                self.cam,
+                arrays,
+                self.statics,
+                self.cfg,
+                self.settings.width,
+                self.settings.height,
+                samples,
+            )
+
+        self._render_batch = jax.jit(_render_batch, static_argnames=("samples",))
+
+    def render_radiance(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
+        """Full-frame mean radiance, (H, W, 3) f32 numpy."""
+        w, h = self.settings.width, self.settings.height
+        samples = samples or self.settings.samples
+        total = w * h
+        b = min(self.batch_size, total)
+        num_batches = -(-total // b)
+        key = jax.random.PRNGKey(seed)
+
+        flat = np.empty((num_batches * b, 3), np.float32)
+        lin = jnp.arange(b, dtype=jnp.int32)
+        for i in range(num_batches):
+            idx = lin + i * b
+            idx = jnp.minimum(idx, total - 1)  # tail batch clamps (overwrite ok)
+            px = idx % w
+            py = idx // w
+            out = self._render_batch(
+                jax.random.fold_in(key, i), px, py, self.arrays, samples
+            )
+            flat[i * b : (i + 1) * b] = np.asarray(out)
+        return flat[:total].reshape(h, w, 3)
+
+    def render_u8(self, seed: int = 0) -> np.ndarray:
+        """Tonemapped (H, W, 3) u8 frame."""
+        radiance = self.render_radiance(seed)
+        return np.asarray(color_to_u8(jnp.asarray(radiance)))
+
+
+def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
+    """One-shot render (reference ``render_scene``, src/rendering.rs:21)."""
+    r = Renderer(desc, **kw)
+    t0 = time.perf_counter()
+    img = r.render_u8(seed)
+    dt = time.perf_counter() - t0
+    s = desc.settings
+    rays = s.width * s.height * s.samples
+    log.info(
+        "rendered %dx%d @ %d spp depth %d in %.2fs (%.1f Mprimary-rays/s)",
+        s.width,
+        s.height,
+        s.samples,
+        s.ray_depth,
+        dt,
+        rays / dt / 1e6,
+    )
+    return img

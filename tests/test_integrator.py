@@ -1,0 +1,174 @@
+"""Integrator correctness tests with analytically-known answers.
+
+The reference has no end-to-end tests (SURVEY.md section 4); these pin the
+estimator: delta materials are exact, the Lambertian furnace matches its
+closed form up to the (reference-faithful) rejection-loop inflation, and
+renders are deterministic per seed.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_course_2024_tpu.runtime.render import Renderer
+from raytracing_course_2024_tpu.scene import parse_text_scene
+
+
+def render_radiance(scene_text, samples=None, **kw):
+    desc = parse_text_scene(scene_text)
+    r = Renderer(desc, **kw)
+    return r.render_radiance(samples=samples)
+
+
+MIRROR_SCENE = """
+DIMENSIONS 16 16
+RAY_DEPTH 3
+SAMPLES 8
+BG_COLOR 1 1 1
+CAMERA_POSITION 0 2 0
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 0 -1
+CAMERA_FORWARD 0 -1 0
+CAMERA_FOV_X 0.4
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.3 0.5 0.7
+METALLIC
+"""
+
+
+def test_mirror_exact():
+    """Camera looks straight down at a mirror plane; reflected rays escape to
+    a white background: pixel radiance == mirror color exactly."""
+    rad = render_radiance(MIRROR_SCENE)
+    assert np.allclose(rad[..., 0], 0.3, atol=1e-4)
+    assert np.allclose(rad[..., 1], 0.5, atol=1e-4)
+    assert np.allclose(rad[..., 2], 0.7, atol=1e-4)
+
+
+EMISSIVE_SCENE = """
+DIMENSIONS 16 16
+RAY_DEPTH 4
+SAMPLES 8
+BG_COLOR 0 0 0
+CAMERA_POSITION 0 0 5
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 1 0
+CAMERA_FORWARD 0 0 -1
+CAMERA_FOV_X 0.3
+
+NEW_PRIMITIVE
+BOX 2 2 2
+POSITION 0 0 0
+COLOR 0 0 0
+EMISSION 2 0.5 1.25
+"""
+
+
+def test_emissive_exact():
+    """Black-albedo emissive box fills the view on a black background:
+    radiance == emission exactly (all secondary paths carry zero)."""
+    rad = render_radiance(EMISSIVE_SCENE)
+    assert np.allclose(rad[..., 0], 2.0, atol=1e-4)
+    assert np.allclose(rad[..., 1], 0.5, atol=1e-4)
+    assert np.allclose(rad[..., 2], 1.25, atol=1e-4)
+
+
+FURNACE_SCENE = """
+DIMENSIONS 8 8
+RAY_DEPTH 2
+SAMPLES 4096
+BG_COLOR 1 1 1
+CAMERA_POSITION 0 2 0
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 0 -1
+CAMERA_FORWARD 0 -1 0
+CAMERA_FOV_X 0.2
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.5 0.5 0.5
+"""
+
+
+def test_lambertian_furnace():
+    """Diffuse plane, white env, depth 2: physically L = albedo *
+    integral(brdf cos) = 0.5. The reference's rejection loop
+    (rendering.rs:102-110) resamples rejected proposals but divides by the
+    *unconditional* mixture pdf, inflating the estimate by 1/P(accept);
+    at roughness 1 head-on, ~45% of VNDF proposals land below the horizon,
+    so P(accept) = (1 + 0.55)/2 ~ 0.77 and L ~ 0.5/0.77 ~ 0.66. We
+    faithfully reproduce that estimator (parity with reference images), so
+    pin the inflated value."""
+    rad = render_radiance(FURNACE_SCENE)
+    mean = rad.mean()
+    assert 0.62 < mean < 0.71, mean
+
+
+GLASS_SCENE = """
+DIMENSIONS 8 8
+RAY_DEPTH 3
+SAMPLES 64
+BG_COLOR 1 1 1
+CAMERA_POSITION 0 2 0
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 0 -1
+CAMERA_FORWARD 0 -1 0
+CAMERA_FOV_X 0.1
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.2 0.9 0.4
+DIELECTRIC
+IOR 1.0
+"""
+
+
+def test_dielectric_straight_through():
+    """IOR=1 dielectric plane head-on: R0 = 0, near-normal incidence so the
+    Schlick term vanishes -- every ray refracts straight through, tinted by
+    the color on entry; it then escapes to the white background."""
+    rad = render_radiance(GLASS_SCENE)
+    assert np.allclose(rad[..., 0], 0.2, atol=5e-3)
+    assert np.allclose(rad[..., 1], 0.9, atol=5e-3)
+    assert np.allclose(rad[..., 2], 0.4, atol=5e-3)
+
+
+def test_deterministic_per_seed():
+    rad1 = render_radiance(MIRROR_SCENE)
+    rad2 = render_radiance(MIRROR_SCENE)
+    assert np.array_equal(rad1, rad2)
+
+
+LIT_SCENE = """
+DIMENSIONS 12 12
+RAY_DEPTH 3
+SAMPLES 512
+BG_COLOR 0 0 0
+CAMERA_POSITION 0 1 3
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 1 0
+CAMERA_FORWARD 0 0 -1
+CAMERA_FOV_X 1.2
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.8 0.8 0.8
+
+NEW_PRIMITIVE
+ELLIPSOID 0.5 0.5 0.5
+POSITION 0 2 0
+EMISSION 4 4 4
+"""
+
+
+def test_light_sampling_reduces_variance():
+    """With an emissive sphere above a diffuse floor, the MIS mixture (with
+    light sampling) must give a lower-variance estimate than cosine-only
+    would -- proxy: the floor is visibly lit and the estimate is finite,
+    positive, and NaN-free."""
+    rad = render_radiance(LIT_SCENE)
+    assert np.isfinite(rad).all()
+    assert rad.max() > 0.05
+    assert rad.min() >= 0.0

@@ -1,0 +1,310 @@
+"""Statistical distribution tests.
+
+Generalizes the reference's single test pattern (src/tests.rs:22-49): every
+sampling distribution's pdf must Monte-Carlo-integrate to 1 over the sphere
+(E_uniform[pdf] * 4pi == 1), and -- stronger than the reference -- every
+sampler must be *consistent* with its pdf: binned sample frequencies must
+match the pdf mass per bin (octant histogram chi-square-ish check).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracing_course_2024_tpu.ops.sampling import (
+    pdf_cosine,
+    pdf_lights,
+    pdf_vndf,
+    sample_cosine,
+    sample_light_dir,
+    sample_vndf,
+)
+from raytracing_course_2024_tpu.ops.vec import Vec3
+from raytracing_course_2024_tpu.scene import (
+    build_scene_arrays,
+    parse_text_scene,
+)
+
+N_INTEGRAL = 200_000
+N_SAMPLES = 200_000
+
+
+def uniform_sphere(key, n):
+    g = jax.random.normal(key, (3, n))
+    return Vec3(g[0], g[1], g[2]).normalize()
+
+
+def vec_const(x, y, z, n):
+    return Vec3(
+        jnp.full((n,), x, jnp.float32),
+        jnp.full((n,), y, jnp.float32),
+        jnp.full((n,), z, jnp.float32),
+    )
+
+
+def sphere_integral(pdf_fn, n=N_INTEGRAL, seed=0):
+    """E_uniform[pdf] * 4pi -- should be 1 for a normalized pdf."""
+    l = uniform_sphere(jax.random.PRNGKey(seed), n)
+    vals = pdf_fn(l)
+    return float(jnp.mean(vals)) * 4.0 * np.pi
+
+
+def octant_masses(pdf_fn, samples: Vec3, n=N_INTEGRAL, seed=1):
+    """(pdf mass per octant, empirical sample frequency per octant)."""
+    l = uniform_sphere(jax.random.PRNGKey(seed), n)
+    vals = np.asarray(pdf_fn(l))
+    def octant(v):
+        return (
+            (np.asarray(v.x) > 0).astype(int) * 4
+            + (np.asarray(v.y) > 0).astype(int) * 2
+            + (np.asarray(v.z) > 0).astype(int)
+        )
+    oc_int = octant(l)
+    mass = np.array(
+        [vals[oc_int == k].sum() / n * 4 * np.pi for k in range(8)]
+    )
+    oc_s = octant(samples)
+    freq = np.array([(oc_s == k).mean() for k in range(8)])
+    return mass, freq
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_pdf_integrates_to_one():
+    n = vec_const(0, 0, 1, N_INTEGRAL)
+    integral = sphere_integral(lambda l: pdf_cosine(n, l))
+    assert abs(integral - 1.0) < 0.02
+
+
+def test_cosine_sampler_consistency():
+    b = N_SAMPLES
+    n = vec_const(0.0, 0.6, 0.8, b)
+    l = sample_cosine(jax.random.PRNGKey(2), n)
+    # all samples above the hemisphere
+    assert float(jnp.min(l.dot(n))) > -1e-4
+    n1 = vec_const(0.0, 0.6, 0.8, N_INTEGRAL)
+    mass, freq = octant_masses(lambda d: pdf_cosine(n1, d), l)
+    assert np.all(np.abs(mass - freq) < 0.015), (mass, freq)
+
+
+@pytest.mark.parametrize("roughness", [0.3, 0.6, 1.0])
+def test_vndf_pdf_integrates_to_one(roughness):
+    # Uniform-sphere MC integral (the reference's pattern, tests.rs:22-41).
+    # Sharp lobes (roughness ~0.04) cannot be integrated this way -- the
+    # reference's own test at 0.04 is near-vacuous (one-sided assert, the MC
+    # misses the spike); sharp-lobe correctness is covered by the exact
+    # D_v-normalization identity verified in test_vndf_dv_identity.
+    n = vec_const(0, 0, 1, N_INTEGRAL)
+    v = vec_const(0.0, 0.6, 0.8, N_INTEGRAL).normalize()
+    r = jnp.full((N_INTEGRAL,), roughness, jnp.float32)
+    integral = sphere_integral(lambda l: pdf_vndf(n, l, v, r))
+    assert abs(integral - 1.0) < 0.05, integral
+
+
+@pytest.mark.parametrize("roughness", [0.3, 1.0])
+def test_vndf_sampler_consistency(roughness):
+    b = N_SAMPLES
+    n = vec_const(0, 0, 1, b)
+    v = vec_const(0.3, 0.2, 0.95, b).normalize()
+    r = jnp.full((b,), roughness, jnp.float32)
+    l = sample_vndf(jax.random.PRNGKey(3), n, v, r)
+    n1 = vec_const(0, 0, 1, N_INTEGRAL)
+    v1 = vec_const(0.3, 0.2, 0.95, N_INTEGRAL).normalize()
+    r1 = jnp.full((N_INTEGRAL,), roughness, jnp.float32)
+    mass, freq = octant_masses(lambda d: pdf_vndf(n1, d, v1, r1), l)
+    # VNDF-reflected directions may fall below the macro-surface horizon
+    # (~48% at roughness 1 for a tilted view); the integrator rejects and
+    # resamples those, exactly like the reference (rendering.rs:102-110).
+    # The pdf and the sampler must still agree over the FULL sphere:
+    below = 1.0 - (np.asarray(l.z) > 0).mean()
+    assert below < 0.6
+    assert np.all(np.abs(mass - freq) < 0.03), (mass, freq)
+
+
+def test_vndf_dv_identity():
+    """Exact check that the visible-NDF D_v integrates to 1 over the
+    hemisphere (deterministic quadrature), for sharp and broad lobes."""
+    from raytracing_course_2024_tpu.ops.sampling import _g1_local, _ggx_d_local
+
+    nt, nphi = 2048, 512
+    theta = (np.arange(nt) + 0.5) / nt * (np.pi / 2)
+    phi = (np.arange(nphi) + 0.5) / nphi * 2 * np.pi
+    t, p = np.meshgrid(theta, phi, indexing="ij")
+    h = Vec3(
+        jnp.asarray((np.sin(t) * np.cos(p)).ravel(), jnp.float32),
+        jnp.asarray((np.sin(t) * np.sin(p)).ravel(), jnp.float32),
+        jnp.asarray(np.cos(t).ravel(), jnp.float32),
+    )
+    w = (np.sin(t) * (np.pi / 2 / nt) * (2 * np.pi / nphi)).ravel()
+    v = vec_const(0.0, 0.6, 0.8, h.x.shape[0])
+    for alpha_f in (0.0016, 0.09, 1.0):  # roughness 0.04, 0.3, 1.0
+        alpha = jnp.full(h.x.shape, alpha_f, jnp.float32)
+        d = np.asarray(_ggx_d_local(h, alpha), np.float64)
+        g1 = np.asarray(_g1_local(v, alpha), np.float64)
+        vdoth = np.asarray(v.dot(h), np.float64)
+        dv = g1 * np.maximum(0.0, vdoth) * d / 0.8
+        integral = (dv * w).sum()
+        # the 0.0016 spike needs the theta resolution we use here
+        tol = 0.03 if alpha_f < 0.01 else 0.005
+        assert abs(integral - 1.0) < tol, (alpha_f, integral)
+
+
+# --- light distributions ----------------------------------------------------
+
+LIGHT_SCENES = {
+    "box": """
+DIMENSIONS 4 4
+NEW_PRIMITIVE
+BOX 1 2 3
+POSITION 0 0 4
+ROTATION 0.1830127 0.1830127 0.6830127 0.6830127
+EMISSION 1 1 1
+""",
+    "triangle": """
+DIMENSIONS 4 4
+NEW_PRIMITIVE
+TRIANGLE -1 -1 4  1 -1 4  0 1.5 4.5
+EMISSION 1 1 1
+""",
+    "ellipsoid": """
+DIMENSIONS 4 4
+NEW_PRIMITIVE
+ELLIPSOID 1 2 3
+POSITION 0 0 4
+ROTATION 0 0.3826834 0 0.9238795
+EMISSION 1 1 1
+""",
+    "two_lights": """
+DIMENSIONS 4 4
+NEW_PRIMITIVE
+BOX 1 1 1
+POSITION 0 0 4
+EMISSION 1 1 1
+NEW_PRIMITIVE
+TRIANGLE -1 -1 -4  1 -1 -4  0 1.5 -4.5
+EMISSION 1 1 1
+""",
+}
+
+
+# float64 numpy oracle: an independent scalar reimplementation of the
+# reference's geometric light pdf (distributions.rs:127-148, 160-184) used to
+# verify the vectorized f32 device code pointwise. (A naive
+# pdf-integrates-to-1 MC test is ill-posed here: the t^2/|n.w| integrand has
+# infinite variance at silhouettes.)
+
+
+def _quat_rot(q, v):
+    qv, w = q[:3], q[3]
+    t = 2 * np.cross(qv, v)
+    return v + w * t + np.cross(qv, t)
+
+
+def _oracle_pdf_one(prim, point, l):
+    q = prim.rotation / np.linalg.norm(prim.rotation)
+    qc = np.array([-q[0], -q[1], -q[2], q[3]])
+    o = _quat_rot(qc, point - prim.position)
+    d = _quat_rot(qc, l)
+    total = 0.0
+    from raytracing_course_2024_tpu.scene import BOX, ELLIPSOID, TRI
+
+    if prim.ptype == TRI:
+        a, b, c = prim.p0, prim.p1, prim.p2
+        n = np.cross(b - a, c - a)
+        area = np.linalg.norm(n) / 2
+        n = n / np.linalg.norm(n)
+        denom = np.dot(n, d)
+        if abs(denom) < 1e-12:
+            return 0.0
+        t = np.dot(n, a - o) / denom
+        p = o + t * d
+        # barycentric containment
+        m = np.stack([b - a, c - a], axis=1)
+        uv, *_ = np.linalg.lstsq(m, p - a, rcond=None)
+        if t > 0 and uv[0] >= -1e-9 and uv[1] >= -1e-9 and uv.sum() <= 1 + 1e-9:
+            total += (1 / area) * t * t / abs(denom)
+    elif prim.ptype == BOX:
+        s = prim.p0
+        with np.errstate(divide="ignore"):
+            t0 = (-s - o) / d
+            t1 = (s - o) / d
+        tmin = np.minimum(t0, t1).max()
+        tmax = np.maximum(t0, t1).min()
+        if tmin > tmax:
+            return 0.0
+        inv_area = 1 / (8 * (s[0] * s[1] + s[1] * s[2] + s[2] * s[0]))
+        for t in (tmin, tmax):
+            if t <= 0:
+                continue
+            p = o + d * t
+            if s[0] - abs(p[0]) < 1e-4:
+                nl = np.array([np.sign(p[0]), 0, 0])
+            elif s[1] - abs(p[1]) < 1e-4:
+                nl = np.array([0, np.sign(p[1]), 0])
+            else:
+                nl = np.array([0, 0, np.sign(p[2])])
+            nw = _quat_rot(q, nl)
+            total += inv_area * t * t / max(abs(np.dot(nw, l)), 1e-9)
+    elif prim.ptype == ELLIPSOID:
+        r = prim.p0
+        oo, dd = o / r, d / r
+        a_ = dd @ dd
+        b_ = oo @ dd
+        c_ = oo @ oo - 1
+        disc = b_ * b_ - a_ * c_
+        if disc < 0:
+            return 0.0
+        sq = np.sqrt(disc)
+        for t in ((-b_ - sq) / a_, (-b_ + sq) / a_):
+            if t <= 0:
+                continue
+            p = o + d * t
+            usph = p / r
+            nl = p / (r * r)
+            nl = nl / np.linalg.norm(nl)
+            nw = _quat_rot(q, nl)
+            jac = np.sqrt(
+                (usph[0] * r[1] * r[2]) ** 2
+                + (r[0] * usph[1] * r[2]) ** 2
+                + (r[0] * r[1] * usph[2]) ** 2
+            )
+            total += (1 / (4 * np.pi * jac)) * t * t / max(abs(np.dot(nw, l)), 1e-9)
+    return total
+
+
+def _oracle_pdf(desc, point, l):
+    lights = [p for p in desc.primitives if p.is_emissive]
+    return sum(_oracle_pdf_one(p, point, l) for p in lights) / len(lights)
+
+
+@pytest.mark.parametrize("name", list(LIGHT_SCENES))
+def test_light_pdf_matches_oracle(name):
+    desc = parse_text_scene(LIGHT_SCENES[name])
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    rng = np.random.default_rng(5)
+    m = 4000
+    dirs = rng.normal(size=(m, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lv = Vec3(*[jnp.asarray(dirs[:, i], jnp.float32) for i in range(3)])
+    pt = vec_const(0.37, -0.21, 0.13, m)
+    mine = np.asarray(pdf_lights(pt, lv, arrays, statics), np.float64)
+    ref = np.array([_oracle_pdf(desc, np.array([0.37, -0.21, 0.13]), d) for d in dirs])
+    # f32 vs f64: allow relative tolerance, looser near silhouettes
+    ok = np.abs(mine - ref) <= 2e-3 * (1.0 + np.abs(ref))
+    assert ok.mean() > 0.995, (name, (~ok).sum(), mine[~ok][:5], ref[~ok][:5])
+
+
+@pytest.mark.parametrize("name", list(LIGHT_SCENES))
+def test_light_sampler_hits_lights(name):
+    """Every sampled direction must actually see a light (pdf > 0) -- the
+    sampler and pdf must share support."""
+    arrays, statics = build_scene_arrays(parse_text_scene(LIGHT_SCENES[name]))
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    b = N_SAMPLES
+    point = vec_const(0.37, -0.21, 0.13, b)
+    l = sample_light_dir(jax.random.PRNGKey(4), point, arrays, statics)
+    pdfs = pdf_lights(point, l, arrays, statics)
+    assert float(jnp.mean(pdfs > 0)) > 0.999, name
