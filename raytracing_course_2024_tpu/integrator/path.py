@@ -166,28 +166,42 @@ def trace_paths(
     scn: SceneArrays,
     statics: SceneStatics,
     cfg: TraceConfig,
-) -> Vec3:
-    """Radiance estimate for a batch of rays. Returns Vec3 of (B,)."""
-    b = ro.x.shape[0]
-    ones = jnp.ones((b,), jnp.float32)
-    zeros = jnp.zeros((b,), jnp.float32)
+    with_stats: bool = False,
+):
+    """Radiance estimate for a batch of rays. Returns Vec3 of (B,), or
+    (Vec3, rays_traced (B,)) when ``with_stats`` -- rays_traced counts path
+    vertices (one scene intersection per live bounce), the unit behind the
+    Mrays/s benchmark metric (SURVEY.md section 6)."""
+    # init derived from traced inputs so device-varying types match the scan
+    # body outputs under shard_map (jax >= 0.9 pvary rules)
+    zeros = ro.x * 0.0
+    ones = zeros + 1.0
     state = _PathState(
         ro=ro,
         rd=rd,
         throughput=Vec3(ones, ones, ones),
         radiance=Vec3(zeros, zeros, zeros),
-        alive=jnp.ones((b,), bool),
+        alive=zeros < 1.0,
     )
+    rays = zeros
 
     if cfg.ray_depth > 1:
 
-        def step(st, i):
-            return _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg), None
+        def step(carry, i):
+            st, cnt = carry
+            cnt = cnt + st.alive.astype(jnp.float32)
+            st = _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg)
+            return (st, cnt), None
 
-        state, _ = jax.lax.scan(step, state, jnp.arange(cfg.ray_depth - 1))
+        (state, rays), _ = jax.lax.scan(
+            step, (state, rays), jnp.arange(cfg.ray_depth - 1)
+        )
 
     # final depth level: emission/background only (deeper recursion is black)
+    rays = rays + state.alive.astype(jnp.float32)
     state, _, _ = _collect_hit(state, scn, statics, cfg)
+    if with_stats:
+        return state.radiance, rays
     return state.radiance
 
 
@@ -202,24 +216,30 @@ def render_pixels(
     width: int,
     height: int,
     samples: int,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """Average radiance over ``samples`` jittered rays per pixel.
 
-    Returns (B, 3) f32. Sample loop = lax.scan (sequential, accumulating),
-    mirroring the reference's per-pixel sample loop (src/rendering.rs:52-62)
-    but vectorized over the whole pixel batch.
+    Returns (B, 3) f32 (plus total rays traced, scalar, when ``with_stats``).
+    Sample loop = lax.scan (sequential, accumulating), mirroring the
+    reference's per-pixel sample loop (src/rendering.rs:52-62) but vectorized
+    over the whole pixel batch.
     """
 
-    def one_sample(acc, s):
+    def one_sample(carry, s):
+        acc, nrays = carry
         k = jax.random.fold_in(key, s)
         k_cam, k_path = jax.random.split(k)
         ro, rd = generate_rays(cam, pix_x, pix_y, width, height, k_cam)
-        rad = trace_paths(k_path, ro, rd, scn, statics, cfg)
-        return acc + rad, None
+        rad, rays = trace_paths(k_path, ro, rd, scn, statics, cfg, with_stats=True)
+        return (acc + rad, nrays + jnp.sum(rays)), None
 
-    zeros = jnp.zeros(pix_x.shape, jnp.float32)
-    total, _ = jax.lax.scan(
-        one_sample, Vec3(zeros, zeros, zeros), jnp.arange(samples)
+    zeros = (pix_x + pix_y).astype(jnp.float32) * 0.0
+    (total, nrays), _ = jax.lax.scan(
+        one_sample, (Vec3(zeros, zeros, zeros), jnp.sum(zeros)), jnp.arange(samples)
     )
     avg = total * (1.0 / samples)
-    return jnp.stack([avg.x, avg.y, avg.z], axis=-1)
+    out = jnp.stack([avg.x, avg.y, avg.z], axis=-1)
+    if with_stats:
+        return out, nrays
+    return out

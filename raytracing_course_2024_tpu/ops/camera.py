@@ -65,9 +65,9 @@ def generate_rays(
         return sx * cam.right[i] + sy * cam.up[i] + cam.forward[i]
 
     d = Vec3(axis(0), axis(1), axis(2)).normalize()
-    o = Vec3(
-        jnp.broadcast_to(cam.position[0], (b,)),
-        jnp.broadcast_to(cam.position[1], (b,)),
-        jnp.broadcast_to(cam.position[2], (b,)),
-    )
+    # derive the origin from d's zero so its (possibly device-varying) type
+    # matches the direction under shard_map -- a plain broadcast_to of the
+    # camera constant would be mesh-invariant and break scan carries
+    zero = d.x * 0.0
+    o = Vec3(zero + cam.position[0], zero + cam.position[1], zero + cam.position[2])
     return o, d

@@ -335,7 +335,9 @@ def sample_mixture(
     """
     n_comp = 3 if statics.num_lights > 0 else 2
     b = point.x.shape[0]
-    zero = jnp.zeros((b,), jnp.float32)
+    # derive init values from traced inputs so their device-varying type
+    # matches the loop body outputs under shard_map (jax >= 0.9 pvary rules)
+    zero = point.x * 0.0
 
     def mixture_pdf(l: Vec3) -> jnp.ndarray:
         p = pdf_cosine(n_geom, l) + pdf_vndf(n_geom, l, v, roughness)
@@ -372,8 +374,8 @@ def sample_mixture(
     init = (
         jnp.int32(0),
         key,
-        Vec3(zero, zero, jnp.ones((b,), jnp.float32)),
-        jnp.ones((b,), jnp.float32),
+        Vec3(zero, zero, zero + 1.0),
+        zero + 1.0,
         ~need,  # lanes that don't need a sample count as done
     )
     _, _, l, pdf, accepted = jax.lax.while_loop(cond, body, init)

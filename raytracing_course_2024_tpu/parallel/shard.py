@@ -1,0 +1,105 @@
+"""Multi-chip rendering: shard_map over a (tile, spp) device mesh.
+
+The reference's only parallelism is a rayon work-stealing loop over image
+rows on one CPU (src/rendering.rs:43-47). The TPU equivalents (SURVEY.md
+section 2.3):
+
+* **tile sharding** (data-parallel analog): image rows are split across the
+  'tile' mesh axis; work is disjoint, results concatenate -- zero
+  collectives, scales until rows < devices.
+* **spp sharding** (gradient-psum analog): every device renders the *same*
+  pixels with a device-decorrelated sample stream (threefry fold_in of the
+  'spp' axis index) and radiance is averaged with ``jax.lax.pmean`` over
+  ICI -- the direct analog of data-parallel gradient all-reduce. Used for
+  the 1024-spp multi-chip benchmark configs (BASELINE.json:11).
+
+Both compose in one ``shard_map`` over a 2D mesh; scene arrays and camera
+are replicated (a 144k-triangle scene is ~20 MB -- trivial per-chip HBM).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrator.path import TraceConfig, render_pixels
+from ..ops.camera import CameraArrays
+from ..scene.types import SceneArrays, SceneStatics
+
+
+def make_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = n_tiles * n_spp
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    arr = np.asarray(devices[:need]).reshape(n_tiles, n_spp)
+    return Mesh(arr, ("tile", "spp"))
+
+
+def render_frame_sharded(
+    key: jax.Array,
+    arrays: SceneArrays,
+    statics: SceneStatics,
+    cam: CameraArrays,
+    cfg: TraceConfig,
+    width: int,
+    height: int,
+    samples: int,
+    mesh: Mesh,
+) -> jnp.ndarray:
+    """Full-frame mean radiance (height, width, 3), computed SPMD.
+
+    Rows are sharded over the 'tile' axis (height must divide evenly --
+    callers pad), samples over the 'spp' axis, pmean-reduced.
+    """
+    n_tiles = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    assert height % n_tiles == 0, (height, n_tiles)
+    assert samples % n_spp == 0, (samples, n_spp)
+    rows_per = height // n_tiles
+    spp_per = samples // n_spp
+
+    def shard_fn(key):
+        ti = jax.lax.axis_index("tile")
+        si = jax.lax.axis_index("spp")
+        # decorrelate the sample stream per mesh coordinate
+        k = jax.random.fold_in(jax.random.fold_in(key, ti), 977 + si)
+        row0 = ti * rows_per
+        lin = jnp.arange(rows_per * width, dtype=jnp.int32)
+        # mark pixel coords as device-varying so every scan/while carry in
+        # the integrator has a consistent varying type (jax >= 0.9 shard_map)
+        px = jax.lax.pvary(lin % width, ("tile", "spp"))
+        py = jax.lax.pvary(row0 + lin // width, ("spp",))  # row0 varies over tile
+        rad = render_pixels(
+            k, px, py, cam, arrays, statics, cfg, width, height, spp_per
+        )  # (rows_per*width, 3), mean over local spp
+        rad = jax.lax.pmean(rad, axis_name="spp")
+        return rad.reshape(rows_per, width, 3)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P("tile", None, None),
+    )
+    return fn(key)
+
+
+def compile_sharded_renderer(
+    arrays, statics, cam, cfg, width, height, samples, mesh
+):
+    """jit-wrapped sharded frame renderer; scene arrays are closed over and
+    replicated on every device."""
+    rep = NamedSharding(mesh, P())
+    arrays = jax.device_put(arrays, rep)
+
+    @partial(jax.jit, static_argnums=())
+    def run(key):
+        return render_frame_sharded(
+            key, arrays, statics, cam, cfg, width, height, samples, mesh
+        )
+
+    return run
