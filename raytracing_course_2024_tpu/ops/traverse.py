@@ -47,23 +47,20 @@ def nearest_hit_bvh(
     node_right = bvh.node_right
     node_is_leaf = bvh.node_is_leaf
 
-    geom = {
-        "ptype": scn.ptype,
-        "p0": scn.p0,
-        "p1": scn.p1,
-        "p2": scn.p2,
-        "position": scn.position,
-        "rotation": scn.rotation,
-    }
+    from .gather import take_packed
+    from .scene_intersect import prim_ref_from_packed
 
     def gather_leaf_ts(start, count):
-        """(B, LEAF_SIZE) hit ts for the contiguous leaf range, inf-masked."""
+        """(B, LEAF_SIZE) hit ts for the contiguous leaf range, inf-masked.
+
+        One packed gather per leaf test (ops/gather.py); (B, LEAF, 3) row
+        gathers are a measured ~10x slowdown."""
         k = jnp.arange(LEAF_SIZE, dtype=jnp.int32)  # (LEAF,)
         pid = start[:, None] + k[None, :]  # (B, LEAF)
         valid = k[None, :] < count[:, None]
         pid = jnp.clip(pid, 0, scn.ptype.shape[0] - 1)
-        sub = {f: a[pid] for f, a in geom.items()}  # (B, LEAF, ...)
-        t = _prim_ts(_expand(ro), _expand(rd), sub, statics, tmin)
+        prim = prim_ref_from_packed(take_packed(scn.packed, pid))
+        t = _prim_ts(_expand(ro), _expand(rd), prim, statics, tmin)
         return jnp.where(valid, t, INF), pid
 
     def cond(carry):

@@ -26,7 +26,7 @@ from ..scene.types import SceneDesc
 
 log = logging.getLogger("rt_tpu")
 
-DEFAULT_BATCH = 16384
+DEFAULT_BATCH = 1_048_576  # ~1M lanes amortizes per-fusion overheads (measured)
 BVH_THRESHOLD = 2048  # finite prims above this use the BVH backend
 
 
@@ -38,7 +38,7 @@ class Renderer:
         desc: SceneDesc,
         backend: str | None = None,
         batch_size: int = DEFAULT_BATCH,
-        max_tries: int = 8,
+        max_tries: int = 4,
     ):
         self.desc = desc
         self.settings = desc.settings
@@ -61,11 +61,17 @@ class Renderer:
             backend=backend,
         )
 
-        def _render_batch(key, pix_x, pix_y, arrays, samples: int):
+        # all index math inside the jitted program: each extra host-side op
+        # fragment is a separately (remotely) compiled executable on the
+        # axon tunnel with a ~1.5 s first-use cost
+        def _render_batch(key, offset, arrays, samples: int, batch: int):
+            w = self.settings.width
+            lin = jnp.arange(batch, dtype=jnp.int32)
+            idx = jnp.minimum(lin + offset, self.settings.width * self.settings.height - 1)
             return render_pixels(
                 key,
-                pix_x,
-                pix_y,
+                idx % w,
+                idx // w,
                 self.cam,
                 arrays,
                 self.statics,
@@ -75,7 +81,9 @@ class Renderer:
                 samples,
             )
 
-        self._render_batch = jax.jit(_render_batch, static_argnames=("samples",))
+        self._render_batch = jax.jit(
+            _render_batch, static_argnames=("samples", "batch")
+        )
 
     def render_radiance(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
         """Full-frame mean radiance, (H, W, 3) f32 numpy."""
@@ -87,14 +95,13 @@ class Renderer:
         key = jax.random.PRNGKey(seed)
 
         flat = np.empty((num_batches * b, 3), np.float32)
-        lin = jnp.arange(b, dtype=jnp.int32)
         for i in range(num_batches):
-            idx = lin + i * b
-            idx = jnp.minimum(idx, total - 1)  # tail batch clamps (overwrite ok)
-            px = idx % w
-            py = idx // w
             out = self._render_batch(
-                jax.random.fold_in(key, i), px, py, self.arrays, samples
+                jax.random.fold_in(key, i),
+                jnp.int32(i * b),
+                self.arrays,
+                samples,
+                b,
             )
             flat[i * b : (i + 1) * b] = np.asarray(out)
         return flat[:total].reshape(h, w, 3)

@@ -23,10 +23,66 @@ from .types import (
     ELLIPSOID,
     TRI,
     BvhArrays,
+    LightCol,
+    PlaneCol,
+    PrimCol,
     SceneArrays,
     SceneDesc,
     SceneStatics,
 )
+
+
+def build_packs(arr: SceneArrays) -> SceneArrays:
+    """(Re)build the transposed attribute packs from the canonical per-field
+    arrays (ops/gather.py explains the layout). Called after initial build
+    and again after the BVH reorder."""
+
+    def cols3(a):
+        a = np.asarray(a, np.float32)
+        return [a[:, 0], a[:, 1], a[:, 2]]
+
+    def cols4(a):
+        a = np.asarray(a, np.float32)
+        return [a[:, 0], a[:, 1], a[:, 2], a[:, 3]]
+
+    def col(a):
+        return [np.asarray(a, np.float32)]
+
+    prim_rows = (
+        col(arr.ptype)
+        + cols3(arr.p0) + cols3(arr.p1) + cols3(arr.p2)
+        + cols3(arr.sn0) + cols3(arr.sn1) + cols3(arr.sn2)
+        + cols3(arr.position) + cols4(arr.rotation)
+        + cols3(arr.color) + col(arr.metallic) + col(arr.roughness)
+        + cols3(arr.emission) + col(arr.ior) + col(arr.mkind)
+    )
+    packed = np.stack(prim_rows)
+    assert packed.shape[0] == PrimCol.COUNT
+
+    li = np.asarray(arr.light_idx)
+    light_rows = (
+        col(np.asarray(arr.ptype)[li])
+        + cols3(np.asarray(arr.p0)[li])
+        + cols3(np.asarray(arr.p1)[li])
+        + cols3(np.asarray(arr.p2)[li])
+        + cols3(np.asarray(arr.position)[li])
+        + cols4(np.asarray(arr.rotation)[li])
+        + col(arr.light_inv_area)
+    )
+    light_packed = np.stack(light_rows)
+    assert light_packed.shape[0] == LightCol.COUNT
+
+    plane_rows = (
+        cols3(arr.pl_normal) + cols3(arr.pl_position) + cols4(arr.pl_rotation)
+        + cols3(arr.pl_color) + col(arr.pl_metallic) + col(arr.pl_roughness)
+        + cols3(arr.pl_emission) + col(arr.pl_ior) + col(arr.pl_mkind)
+    )
+    plane_packed = np.stack(plane_rows)
+    assert plane_packed.shape[0] == PlaneCol.COUNT
+
+    return arr._replace(
+        packed=packed, light_packed=light_packed, plane_packed=plane_packed
+    )
 
 
 def _rot_many(q: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -162,11 +218,16 @@ def build_scene_arrays(desc: SceneDesc, dtype=np.float32):
         light_inv_area=light_inv_area,
         bvh=None,
     )
+    ident = np.array([0, 0, 0, 1], dtype)
     statics = SceneStatics(
         num_prims=n,
         num_planes=num_planes,
         num_lights=num_lights,
         any_rotation=any_rotation,
         any_nontri=any_nontri,
+        light_types=tuple(int(ptype[i]) for i in light_ids),
+        light_rotated=tuple(
+            bool(np.abs(rotation[i] - ident).max() > 1e-7) for i in light_ids
+        ),
     )
-    return arrays, statics
+    return build_packs(arrays), statics

@@ -122,6 +122,57 @@ class SceneDesc:
     planes: list  # infinite PrimitiveDesc (PLANE)
 
 
+class PrimCol:
+    """Row layout of SceneArrays.packed, the (C, N) transposed attribute pack
+    used for all hot-loop gathers (see ops/gather.py for why)."""
+
+    PTYPE = 0
+    P0 = 1  # 1-3
+    P1 = 4  # 4-6
+    P2 = 7  # 7-9
+    SN0 = 10  # 10-12
+    SN1 = 13
+    SN2 = 16
+    POS = 19  # 19-21
+    ROT = 22  # 22-25 (x, y, z, w)
+    COLOR = 26  # 26-28
+    METALLIC = 29
+    ROUGHNESS = 30
+    EMISSION = 31  # 31-33
+    IOR = 34
+    MKIND = 35
+    COUNT = 36
+
+
+class LightCol:
+    """Row layout of SceneArrays.light_packed (C, L): the emissive-primitive
+    table pre-gathered at build time (no double indirection at render)."""
+
+    PTYPE = 0
+    P0 = 1
+    P1 = 4
+    P2 = 7
+    POS = 10
+    ROT = 13  # 13-16
+    INV_AREA = 17
+    COUNT = 18
+
+
+class PlaneCol:
+    """Row layout of SceneArrays.plane_packed (C, P)."""
+
+    NORMAL = 0  # 0-2 (local frame)
+    POS = 3
+    ROT = 6  # 6-9
+    COLOR = 10
+    METALLIC = 13
+    ROUGHNESS = 14
+    EMISSION = 15  # 15-17
+    IOR = 18
+    MKIND = 19
+    COUNT = 20
+
+
 class BvhArrays(NamedTuple):
     """Flat binary-BVH arrays for device traversal (filled by ops.bvh)."""
 
@@ -171,14 +222,25 @@ class SceneArrays(NamedTuple):
     light_inv_area: "jnp.ndarray"  # (L,) f32: 1/surface-area (local pdf;
     #   reference src/distributions.rs:70-81 get_local_pdf)
 
+    # transposed attribute packs for hot-loop gathers (ops/gather.py)
+    packed: "jnp.ndarray" = None  # (PrimCol.COUNT, N) f32
+    light_packed: "jnp.ndarray" = None  # (LightCol.COUNT, L) f32
+    plane_packed: "jnp.ndarray" = None  # (PlaneCol.COUNT, P) f32
+
     bvh: Optional[BvhArrays] = None
 
 
 class SceneStatics(NamedTuple):
-    """Trace-time (python) facts about the scene that pick code paths."""
+    """Trace-time (python) facts about the scene that pick code paths.
+
+    ``light_types`` / ``light_rotated`` let the light-pdf loop unroll with a
+    *static* branch per light -- each light compiles only its own shape
+    kernel and no lane-padded (B, L) intermediates exist."""
 
     num_prims: int
     num_planes: int  # real planes, excluding padding
     num_lights: int  # real lights, excluding padding
     any_rotation: bool  # any finite prim with non-identity quaternion
     any_nontri: bool  # any box/ellipsoid in the finite table
+    light_types: tuple = ()  # per real light: TRI / BOX / ELLIPSOID
+    light_rotated: tuple = ()  # per real light: non-identity rotation?
