@@ -213,12 +213,22 @@ def _reorder(a: np.ndarray, order: np.ndarray) -> np.ndarray:
     return np.asarray(a)[order]
 
 
-def attach_bvh(scn: SceneArrays, statics: SceneStatics) -> SceneArrays:
-    """Build the BVH, reorder the finite table to leaf order, remap lights.
+def attach_bvh(scn: SceneArrays, statics: SceneStatics,
+               max_slots: int | None = None) -> SceneArrays:
+    """Build the SAH BVH, cut it into treelets, and reorder+pad the finite
+    table into fixed 128-slot treelet blocks (ops/treelet.py explains the
+    TPU-first traversal this feeds). Lights are remapped to padded rows.
 
     Tries the native C++ builder first (same algorithm); falls back to numpy.
     """
+    from ..scene.build import build_packs
+    from . import treelet as _tl
+    from .treelet import TreeletArrays, _geom_cols, pad_to_slots, partition_treelets
+
+    slots = max_slots or _tl.TREELET_SLOTS
+
     amin, amax = primitive_aabbs(scn)
+    n = amin.shape[0]
 
     bvh = None
     try:
@@ -230,74 +240,104 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics) -> SceneArrays:
     if bvh is None:
         bvh = build_bvh(amin, amax)
 
-    order = bvh.prim_order
-    inv = np.empty_like(order)
-    inv[order] = np.arange(len(order), dtype=np.int32)
+    order = bvh.prim_order  # old row of the prim in sorted position i
+    ranges, tl_min, tl_max = partition_treelets(bvh, n, slots)
+    slot_of_sorted, n_pad = pad_to_slots(ranges, n, slots)
+    # old row -> padded slot
+    slot_of_old = np.empty(n, np.int64)
+    slot_of_old[order] = slot_of_sorted
+
+    def place(a, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        out[slot_of_old] = a
+        return out
 
     reordered = scn._replace(
-        ptype=_reorder(scn.ptype, order),
-        p0=_reorder(scn.p0, order),
-        p1=_reorder(scn.p1, order),
-        p2=_reorder(scn.p2, order),
-        sn0=_reorder(scn.sn0, order),
-        sn1=_reorder(scn.sn1, order),
-        sn2=_reorder(scn.sn2, order),
-        position=_reorder(scn.position, order),
-        rotation=_reorder(scn.rotation, order),
-        color=_reorder(scn.color, order),
-        metallic=_reorder(scn.metallic, order),
-        roughness=_reorder(scn.roughness, order),
-        emission=_reorder(scn.emission, order),
-        ior=_reorder(scn.ior, order),
-        mkind=_reorder(scn.mkind, order),
-        light_idx=inv[np.asarray(scn.light_idx)],
+        ptype=place(scn.ptype),  # fill rows: ptype=0 TRI with zero verts
+        p0=place(scn.p0),
+        p1=place(scn.p1),
+        p2=place(scn.p2),
+        sn0=place(scn.sn0),
+        sn1=place(scn.sn1),
+        sn2=place(scn.sn2),
+        position=place(scn.position),
+        rotation=place(scn.rotation),
+        color=place(scn.color),
+        metallic=place(scn.metallic),
+        roughness=place(scn.roughness, 1.0),
+        emission=place(scn.emission),
+        ior=place(scn.ior, 1.5),
+        mkind=place(scn.mkind),
+        light_idx=slot_of_old[np.asarray(scn.light_idx)].astype(np.int32),
         bvh=None,
     )
-    from ..scene.build import build_packs
+    reordered = build_packs(reordered)
 
-    reordered = build_packs(reordered)._replace(
-        bvh=BvhArrays(
-            node_min=bvh.node_min,
-            node_max=bvh.node_max,
-            node_left=bvh.node_left,
-            node_right=bvh.node_right,
-            node_is_leaf=bvh.node_is_leaf,
-            prim_order=bvh.prim_order,
-        ),
-    )
-    return reordered
+    cols = _geom_cols(reordered, statics)
+    t = len(ranges)
+    blocks = np.stack(
+        [np.asarray(c, np.float32).reshape(t, slots) for c in cols]
+    )  # (Cg, T, SLOTS)
+    aabb = np.ascontiguousarray(
+        np.concatenate([tl_min.T, tl_max.T]).astype(np.float32)
+    )  # (6, T)
+    return reordered._replace(bvh=TreeletArrays(aabb=aabb, blocks=blocks))
 
 
-def validate_bvh(scn: SceneArrays) -> None:
-    """Containment invariants, host-side (the reference asserts these at the
-    start of every render, src/bvh.rs:299-322 + rendering.rs:22; we check
-    once at build/test time instead)."""
-    bvh = scn.bvh
-    assert bvh is not None
-    amin, amax = primitive_aabbs(scn)
-    nmin = np.asarray(bvh.node_min, np.float64)
-    nmax = np.asarray(bvh.node_max, np.float64)
-    left = np.asarray(bvh.node_left)
-    right = np.asarray(bvh.node_right)
-    leaf = np.asarray(bvh.node_is_leaf)
+def validate_bvh(host_bvh: _HostBvh, amin: np.ndarray, amax: np.ndarray) -> None:
+    """Containment invariants on the host tree (the reference asserts these
+    at the start of every render, src/bvh.rs:299-322 + rendering.rs:22; we
+    check once at build/test time instead). amin/amax are in the ORIGINAL
+    primitive order; host_bvh.prim_order maps sorted position -> old row."""
+    nmin = np.asarray(host_bvh.node_min, np.float64)
+    nmax = np.asarray(host_bvh.node_max, np.float64)
+    left = np.asarray(host_bvh.node_left)
+    right = np.asarray(host_bvh.node_right)
+    leaf = np.asarray(host_bvh.node_is_leaf)
+    order = np.asarray(host_bvh.prim_order)
+    smin = amin[order]  # sorted order
+    smax = amax[order]
     tol = 1e-5
     for nid in range(len(left)):
         if leaf[nid]:
             s, c = left[nid], right[nid]
-            assert (amin[s : s + c] >= nmin[nid] - tol).all(), nid
-            assert (amax[s : s + c] <= nmax[nid] + tol).all(), nid
+            assert (smin[s : s + c] >= nmin[nid] - tol).all(), nid
+            assert (smax[s : s + c] <= nmax[nid] + tol).all(), nid
         else:
             for ch in (left[nid], right[nid]):
                 assert (nmin[ch] >= nmin[nid] - tol).all(), (nid, ch)
                 assert (nmax[ch] <= nmax[nid] + tol).all(), (nid, ch)
     # the reorder must be a permutation covering every primitive
-    order = np.sort(np.asarray(bvh.prim_order))
-    assert (order == np.arange(len(order))).all()
+    assert (np.sort(order) == np.arange(len(order))).all()
     # leaves must tile [0, N) exactly
-    starts = left[leaf]
-    counts = right[leaf]
     covered = np.zeros(len(order), bool)
-    for s, c in zip(starts, counts):
+    for s, c in zip(left[leaf], right[leaf]):
         assert not covered[s : s + c].any()
         covered[s : s + c] = True
     assert covered.all()
+
+
+def validate_treelets(scn: SceneArrays, statics: SceneStatics) -> None:
+    """Treelet invariants on the padded device arrays: every real primitive's
+    AABB is contained in its treelet's AABB; fill slots never intersect."""
+    from .treelet import TREELET_SLOTS
+
+    tl = scn.bvh
+    aabb = np.asarray(tl.aabb, np.float64)  # (6, T)
+    amin, amax = primitive_aabbs(scn)
+    n_pad = amin.shape[0]
+    t = aabb.shape[1]
+    assert n_pad == t * TREELET_SLOTS
+    # fill rows are zero-vert triangles: detect via degenerate extent
+    extent = (amax - amin).max(axis=1)
+    real = extent > 3e-4  # fill rows have extent == 2*AABB_EPS
+    tol = 1e-4
+    for ti in range(t):
+        rows = slice(ti * TREELET_SLOTS, (ti + 1) * TREELET_SLOTS)
+        r = real[rows]
+        if not r.any():
+            continue
+        assert (amin[rows][r] >= aabb[:3, ti] - tol).all(), ti
+        assert (amax[rows][r] <= aabb[3:, ti] + tol).all(), ti
+    assert int(real.sum()) == statics.num_prims

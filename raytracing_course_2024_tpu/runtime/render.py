@@ -64,11 +64,21 @@ class Renderer:
         # all index math inside the jitted program: each extra host-side op
         # fragment is a separately (remotely) compiled executable on the
         # axon tunnel with a ~1.5 s first-use cost
-        def _render_batch(key, offset, arrays, samples: int, batch: int):
+        def _render_batch(key, offset, arrays, samples: int, batch: int,
+                          replicas: int):
+            # small frames underutilize the 1M-lane sweet spot: replicate
+            # each pixel `replicas` times across the lane axis, give each
+            # replica samples/replicas of the spp budget with a distinct
+            # key, and average on device.
             w = self.settings.width
+            total = self.settings.width * self.settings.height
             lin = jnp.arange(batch, dtype=jnp.int32)
-            idx = jnp.minimum(lin + offset, self.settings.width * self.settings.height - 1)
-            return render_pixels(
+            idx = jnp.minimum(lin + offset, total - 1)
+            if replicas > 1:
+                # replicas of a pixel sit at different lane positions, so the
+                # positional threefry stream decorrelates them for free
+                idx = jnp.tile(idx, replicas)
+            out = render_pixels(
                 key,
                 idx % w,
                 idx // w,
@@ -78,19 +88,35 @@ class Renderer:
                 self.cfg,
                 self.settings.width,
                 self.settings.height,
-                samples,
+                samples // replicas,
             )
+            if replicas > 1:
+                out = out.reshape(replicas, batch, 3).mean(axis=0)
+            return out
 
         self._render_batch = jax.jit(
-            _render_batch, static_argnames=("samples", "batch")
+            _render_batch, static_argnames=("samples", "batch", "replicas")
         )
+
+    def _plan(self, total: int, samples: int):
+        """Pick (batch, replicas): fill ~batch_size lanes, replicas | samples."""
+        b = min(self.batch_size, total)
+        replicas = 1
+        if total < self.batch_size:
+            budget = max(self.batch_size // total, 1)
+            replicas = 1
+            for c in range(min(budget, samples), 0, -1):
+                if samples % c == 0:
+                    replicas = c
+                    break
+        return b, replicas
 
     def render_radiance(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
         """Full-frame mean radiance, (H, W, 3) f32 numpy."""
         w, h = self.settings.width, self.settings.height
         samples = samples or self.settings.samples
         total = w * h
-        b = min(self.batch_size, total)
+        b, replicas = self._plan(total, samples)
         num_batches = -(-total // b)
         key = jax.random.PRNGKey(seed)
 
@@ -102,6 +128,7 @@ class Renderer:
                 self.arrays,
                 samples,
                 b,
+                replicas,
             )
             flat[i * b : (i + 1) * b] = np.asarray(out)
         return flat[:total].reshape(h, w, 3)

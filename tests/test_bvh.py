@@ -11,7 +11,13 @@ import numpy as np
 import pytest
 
 from conftest import scene_path
-from raytracing_course_2024_tpu.ops.bvh import attach_bvh, build_bvh, validate_bvh
+from raytracing_course_2024_tpu.ops.bvh import (
+    attach_bvh,
+    build_bvh,
+    primitive_aabbs,
+    validate_bvh,
+    validate_treelets,
+)
 from raytracing_course_2024_tpu.ops.scene_intersect import nearest_hit_dense
 from raytracing_course_2024_tpu.ops.traverse import nearest_hit_bvh
 from raytracing_course_2024_tpu.ops.vec import Vec3
@@ -79,9 +85,12 @@ def _rand_rays(rng, b):
 def test_build_and_validate(rng):
     desc = _soup_desc(rng, n=777)
     arrays, statics = build_scene_arrays(desc)
+    amin, amax = primitive_aabbs(arrays)
+    host = build_bvh(amin, amax)
+    validate_bvh(host, amin, amax)
     arrays2 = attach_bvh(arrays, statics)
-    validate_bvh(arrays2)
-    # light indices still point at emissive prims after the reorder
+    validate_treelets(arrays2, statics)
+    # light indices still point at emissive prims after reorder + padding
     em = np.asarray(arrays2.emission)[np.asarray(arrays2.light_idx)]
     assert (np.linalg.norm(em, axis=1) > 1e-5).all()
 
@@ -107,7 +116,7 @@ def test_bvh_matches_dense_cornell(scenes_dir, rng):
     desc = load_scene(scene_path("practice7_1.gltf"), 16, 16, 1)
     arrays, statics = build_scene_arrays(desc)
     arrays = attach_bvh(arrays, statics)
-    validate_bvh(arrays)
+    validate_treelets(arrays, statics)
     arrays_j = jax.tree.map(jnp.asarray, arrays)
     # rays from inside the box
     o = rng.uniform(-0.8, 0.8, (2048, 3)) * np.array([1, 1, 1]) + np.array(
@@ -145,7 +154,7 @@ def test_bvh_mixed_shapes(rng):
     text = "DIMENSIONS 8 8\n" + "\n".join(blocks)
     arrays, statics = build_scene_arrays(parse_text_scene(text))
     arrays = attach_bvh(arrays, statics)
-    validate_bvh(arrays)
+    validate_treelets(arrays, statics)
     arrays_j = jax.tree.map(jnp.asarray, arrays)
     ro, rd = _rand_rays(rng, 4096)
     hd = nearest_hit_dense(ro, rd, arrays_j, statics)
@@ -167,5 +176,5 @@ def test_bvh_big_scene(scenes_dir):
     arrays = attach_bvh(arrays, statics)
     dt = time.perf_counter() - t0
     assert dt < 120, f"BVH build too slow: {dt:.1f}s"
-    nodes = np.asarray(arrays.bvh.node_left).shape[0]
-    assert nodes > 10_000
+    treelets = np.asarray(arrays.bvh.aabb).shape[1]
+    assert treelets > 500
