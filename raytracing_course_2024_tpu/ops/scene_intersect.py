@@ -149,11 +149,32 @@ def _prim_ts(ro_b: Vec3, rd_b: Vec3, prim: PrimRef, statics: SceneStatics,
     return t
 
 
+import os as _os
+
+_NO_PALLAS = bool(_os.environ.get("RT_NO_PALLAS"))
+
+
 def nearest_hit_dense(
     ro: Vec3, rd: Vec3, scn: SceneArrays, statics: SceneStatics, tmin=0.0
 ) -> SceneHit:
-    """Brute-force nearest hit over the finite table + planes."""
+    """Brute-force nearest hit over the finite table + planes.
+
+    Small all-triangle scenes take the fused Pallas kernel
+    (ops/pallas_intersect.py) -- single VMEM pass, no (B, N) t-matrix in
+    HBM; everything else takes the chunked XLA sweep."""
     n = scn.ptype.shape[0]
+
+    if scn.tri_pack is not None and not _NO_PALLAS:
+        from .pallas_intersect import pallas_dense_nearest
+
+        best_t, best_idx = pallas_dense_nearest(ro, rd, scn.tri_pack, tmin)
+        hit = SceneHit(
+            best_t, best_idx, jnp.zeros_like(best_idx, bool), jnp.isfinite(best_t)
+        )
+        if statics.num_planes > 0:
+            hit = _fold_in_planes(ro, rd, scn, hit, tmin)
+        return hit
+
     ro_b = _expand(ro)
     rd_b = _expand(rd)
 

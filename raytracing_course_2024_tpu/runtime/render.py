@@ -65,7 +65,7 @@ class Renderer:
         # fragment is a separately (remotely) compiled executable on the
         # axon tunnel with a ~1.5 s first-use cost
         def _render_batch(key, offset, arrays, samples: int, batch: int,
-                          replicas: int):
+                          replicas: int, with_stats: bool):
             # small frames underutilize the 1M-lane sweet spot: replicate
             # each pixel `replicas` times across the lane axis, give each
             # replica samples/replicas of the spp budget with a distinct
@@ -89,13 +89,18 @@ class Renderer:
                 self.settings.width,
                 self.settings.height,
                 samples // replicas,
+                with_stats=with_stats,
             )
+            nrays = jnp.float32(0)
+            if with_stats:
+                out, nrays = out
             if replicas > 1:
                 out = out.reshape(replicas, batch, 3).mean(axis=0)
-            return out
+            return out, nrays
 
         self._render_batch = jax.jit(
-            _render_batch, static_argnames=("samples", "batch", "replicas")
+            _render_batch,
+            static_argnames=("samples", "batch", "replicas", "with_stats"),
         )
 
     def _plan(self, total: int, samples: int):
@@ -111,8 +116,21 @@ class Renderer:
                     break
         return b, replicas
 
-    def render_radiance(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
-        """Full-frame mean radiance, (H, W, 3) f32 numpy."""
+    def render_radiance(
+        self,
+        seed: int = 0,
+        samples: int | None = None,
+        progress: bool = False,
+        with_stats: bool = False,
+    ):
+        """Full-frame mean radiance, (H, W, 3) f32 numpy.
+
+        ``progress`` logs per-batch completion (the reference's indicatif
+        bar analog, src/rendering.rs:46). ``with_stats`` additionally
+        returns a RenderStats with exact path-vertex counts.
+        """
+        import time
+
         w, h = self.settings.width, self.settings.height
         samples = samples or self.settings.samples
         total = w * h
@@ -120,18 +138,39 @@ class Renderer:
         num_batches = -(-total // b)
         key = jax.random.PRNGKey(seed)
 
+        t0 = time.perf_counter()
+        nrays_total = 0.0
         flat = np.empty((num_batches * b, 3), np.float32)
         for i in range(num_batches):
-            out = self._render_batch(
+            out, nrays = self._render_batch(
                 jax.random.fold_in(key, i),
                 jnp.int32(i * b),
                 self.arrays,
                 samples,
                 b,
                 replicas,
+                with_stats,
             )
             flat[i * b : (i + 1) * b] = np.asarray(out)
-        return flat[:total].reshape(h, w, 3)
+            if with_stats:
+                nrays_total += float(nrays)
+            if progress:
+                log.info("render progress: %d/%d batches", i + 1, num_batches)
+        img = flat[:total].reshape(h, w, 3)
+        if with_stats:
+            from .profiling import RenderStats
+
+            stats = RenderStats(
+                width=w,
+                height=h,
+                samples=samples,
+                ray_depth=self.settings.ray_depth,
+                wall_seconds=time.perf_counter() - t0,
+                path_vertices=nrays_total,
+                primary_rays=total * samples,
+            )
+            return img, stats
+        return img
 
     def render_u8(self, seed: int = 0) -> np.ndarray:
         """Tonemapped (H, W, 3) u8 frame."""

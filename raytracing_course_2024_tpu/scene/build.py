@@ -80,8 +80,19 @@ def build_packs(arr: SceneArrays) -> SceneArrays:
     plane_packed = np.stack(plane_rows)
     assert plane_packed.shape[0] == PlaneCol.COUNT
 
+    tri_pack = None
+    ptype = np.asarray(arr.ptype)
+    if ptype.size and (ptype == TRI).all():
+        from ..ops.pallas_intersect import MAX_PRIMS, prepare_tri_pack
+
+        if ptype.size <= MAX_PRIMS:
+            tri_pack = prepare_tri_pack(arr.p0, arr.p1, arr.p2)
+
     return arr._replace(
-        packed=packed, light_packed=light_packed, plane_packed=plane_packed
+        packed=packed,
+        light_packed=light_packed,
+        plane_packed=plane_packed,
+        tri_pack=tri_pack,
     )
 
 

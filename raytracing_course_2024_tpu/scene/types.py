@@ -226,6 +226,9 @@ class SceneArrays(NamedTuple):
     packed: "jnp.ndarray" = None  # (PrimCol.COUNT, N) f32
     light_packed: "jnp.ndarray" = None  # (LightCol.COUNT, L) f32
     plane_packed: "jnp.ndarray" = None  # (PlaneCol.COUNT, P) f32
+    # (9, N) [a, e1, e2] pack for the Pallas dense kernel (small all-tri
+    # scenes only; ops/pallas_intersect.py)
+    tri_pack: "jnp.ndarray" = None
 
     bvh: Optional[BvhArrays] = None
 

@@ -1,0 +1,86 @@
+"""Runtime subsystems: checkpoint/resume, stats, image IO round trips."""
+
+import numpy as np
+
+from raytracing_course_2024_tpu.runtime.checkpoint import render_with_checkpoints
+from raytracing_course_2024_tpu.runtime.image_io import read_ppm, write_ppm
+from raytracing_course_2024_tpu.runtime.render import Renderer
+from raytracing_course_2024_tpu.scene import parse_text_scene
+
+SCENE = """
+DIMENSIONS 24 16
+RAY_DEPTH 3
+SAMPLES 16
+BG_COLOR 0.1 0.2 0.3
+CAMERA_POSITION 0 1 4
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 1 0
+CAMERA_FORWARD 0 0 -1
+CAMERA_FOV_X 1.2
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.7 0.6 0.5
+
+NEW_PRIMITIVE
+BOX 0.4 0.4 0.4
+POSITION 0 0.4 0
+EMISSION 3 3 3
+"""
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    desc = parse_text_scene(SCENE)
+    r = Renderer(desc)
+    ck = str(tmp_path / "state.npz")
+
+    full = render_with_checkpoints(r, ck, total_spp=16, chunk_spp=4, seed=3)
+
+    # simulate an interruption: rebuild the checkpoint halfway, then resume
+    ck2 = str(tmp_path / "state2.npz")
+    import raytracing_course_2024_tpu.runtime.checkpoint as C
+
+    orig = C.Renderer.render_radiance
+    calls = {"n": 0}
+
+    class Boom(RuntimeError):
+        pass
+
+    def interrupting(self, *a, **k):
+        if calls["n"] == 2:
+            raise Boom()
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    C.Renderer.render_radiance = interrupting
+    try:
+        try:
+            render_with_checkpoints(r, ck2, total_spp=16, chunk_spp=4, seed=3)
+            raise AssertionError("expected interruption")
+        except Boom:
+            pass
+    finally:
+        C.Renderer.render_radiance = orig
+
+    resumed = render_with_checkpoints(r, ck2, total_spp=16, chunk_spp=4, seed=3)
+    assert np.allclose(resumed, full, atol=1e-6), np.abs(resumed - full).max()
+
+
+def test_stats(tmp_path):
+    desc = parse_text_scene(SCENE)
+    r = Renderer(desc)
+    img, stats = r.render_radiance(seed=0, with_stats=True)
+    assert img.shape == (16, 24, 3)
+    assert stats.primary_rays == 24 * 16 * 16
+    assert stats.path_vertices >= stats.primary_rays  # at least 1 vertex each
+    assert stats.avg_path_length <= desc.settings.ray_depth
+    assert stats.mrays_per_sec > 0
+    assert "Mrays/s" in str(stats)
+
+
+def test_ppm_roundtrip(tmp_path, rng):
+    img = rng.integers(0, 255, (7, 9, 3), dtype=np.uint8)
+    path = str(tmp_path / "x.ppm")
+    write_ppm(path, img)
+    back = read_ppm(path)
+    assert np.array_equal(img, back)
