@@ -95,8 +95,9 @@ def main():
 
     mrays = total_rays / dt / 1e6
     wall_256 = dt * 256 / spp
+    scene_name = os.path.basename(scene)
     print(
-        f"# practice7_1 {width}x{height} @ {spp} spp ({backend}): {dt:.2f}s, "
+        f"# {scene_name} {width}x{height} @ {spp} spp ({backend}): {dt:.2f}s, "
         f"{total_rays/1e6:.1f} M path-vertices, {mrays:.1f} Mrays/s; "
         f"implied 256-spp frame: {wall_256:.1f}s",
         file=sys.stderr,
@@ -104,7 +105,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "Mrays/sec/chip, practice7_1 1280x720 path vertices",
+                "metric": f"Mrays/sec/chip, {scene_name} {width}x{height} path vertices",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 200.0, 4),

@@ -213,30 +213,95 @@ def nearest_hit_treelet(
         # inflate so truncation never skips a treelet entering before best_t
         return key_of(best_t * (1.0 + 1.0 / (1 << (23 - bits - 1)))) | tid_mask
 
-    def next_key(last_key):  # ONE fused read-only (B, T) pass
-        return jnp.min(jnp.where(keys > last_key[:, None], keys, max_key), axis=1)
+    def make_round(keys_mat, ro_v, rd_v):
+        def next_key(last_key):  # ONE fused read-only (B', T) pass
+            return jnp.min(
+                jnp.where(keys_mat > last_key[:, None], keys_mat, max_key), axis=1
+            )
 
-    def cond(carry):
-        nxt, best_t, _ = carry
-        return jnp.any((nxt < max_key) & (nxt <= best_key_bound(best_t)))
+        def active_of(carry):
+            nxt, best_t, _ = carry
+            return (nxt < max_key) & (nxt <= best_key_bound(best_t))
 
-    def body(carry):
-        nxt, best_t, best_idx = carry
-        active = (nxt < max_key) & (nxt <= best_key_bound(best_t))
-        tid = nxt & tid_mask
-        best_t, best_idx = _test_treelet(
-            tl, jnp.where(active, tid, 0), ro_b, rd_b, statics, tmin,
-            best_t, best_idx, active,
-        )
-        nxt = jnp.where(active, next_key(nxt), max_key)
-        return nxt, best_t, best_idx
+        def body(carry):
+            nxt, best_t, best_idx = carry
+            active = active_of(carry)
+            tid = nxt & tid_mask
+            best_t, best_idx = _test_treelet(
+                tl, jnp.where(active, tid, 0), _expand(ro_v), _expand(rd_v),
+                statics, tmin, best_t, best_idx, active,
+            )
+            nxt = jnp.where(active, next_key(nxt), max_key)
+            return nxt, best_t, best_idx
+
+        return next_key, active_of, body
+
+    next_key, active_of, round_body = make_round(keys, ro, rd)
 
     init = (
         next_key(jnp.full((b,), -1, jnp.int32)),
         jnp.full((b,), INF),
         jnp.zeros((b,), jnp.int32),
     )
-    _, best_t, best_idx = jax.lax.while_loop(cond, body, init)
+
+    # --- phase 1: up to R0 full-batch rounds (covers ~p95 of rays) ---
+    R0 = 3
+
+    def p1_cond(carry):
+        k, state = carry
+        return (k < R0) & jnp.any(active_of(state))
+
+    def p1_body(carry):
+        k, state = carry
+        return k + 1, round_body(state)
+
+    _, (nxt, best_t, best_idx) = jax.lax.while_loop(
+        p1_cond, p1_body, (jnp.int32(0), init)
+    )
+
+    # --- phase 2: compact the straggler rays (long incoherent rays crossing
+    # many treelet boxes; p99 visits ~13 vs mean ~2.4) into a batch 8x
+    # smaller, so late rounds stop charging the whole wavefront ---
+    active = (nxt < max_key) & (nxt <= best_key_bound(best_t))
+    cap = max(b // 8, 1024)
+    n_active = jnp.sum(active)
+
+    def compacted(args):
+        nxt, best_t, best_idx = args
+        # fill index = b: out of range, dropped by the scatter below
+        idx = jnp.nonzero(active, size=cap, fill_value=b)[0]
+        safe = jnp.minimum(idx, b - 1)
+        sub_ro = Vec3(ro.x[safe], ro.y[safe], ro.z[safe])
+        sub_rd = Vec3(rd.x[safe], rd.y[safe], rd.z[safe])
+        sub_keys = keys[safe]  # (cap, T) row gather
+        s_next, s_active_of, s_body = make_round(sub_keys, sub_ro, sub_rd)
+        sub_init = (
+            jnp.where(idx < b, nxt[safe], max_key),
+            best_t[safe],
+            best_idx[safe],
+        )
+        _, s_t, s_i = jax.lax.while_loop(
+            lambda c: jnp.any(s_active_of(c)), s_body, sub_init
+        )
+        best_t2 = best_t.at[idx].set(s_t, mode="drop")
+        best_idx2 = best_idx.at[idx].set(s_i, mode="drop")
+        return best_t2, best_idx2
+
+    def full_batch(args):
+        nxt, best_t, best_idx = args
+        _, bt, bi = jax.lax.while_loop(
+            lambda c: jnp.any(active_of(c)), round_body, (nxt, best_t, best_idx)
+        )
+        return bt, bi
+
+    best_t, best_idx = jax.lax.cond(
+        n_active == 0,
+        lambda args: (args[1], args[2]),
+        lambda args: jax.lax.cond(
+            n_active <= cap, compacted, full_batch, args
+        ),
+        (nxt, best_t, best_idx),
+    )
 
     out = SceneHit(
         best_t, best_idx, jnp.zeros_like(best_idx, bool), jnp.isfinite(best_t)
