@@ -30,7 +30,7 @@ from typing import NamedTuple
 
 import numpy as np
 
-from ..scene.types import BOX, ELLIPSOID, TRI, BvhArrays, SceneArrays, SceneStatics
+from ..scene.types import TRI, SceneArrays, SceneStatics
 
 log = logging.getLogger("rt_tpu")
 

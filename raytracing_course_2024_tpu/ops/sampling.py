@@ -35,7 +35,6 @@ from .intersect import (
     ray_triangle,
     to_local,
 )
-from .scene_intersect import _expand, _q4, _v3
 from .vec import Quat, Vec3, reflect, where3
 
 PI = math.pi
@@ -107,6 +106,21 @@ def sample_cosine(key: jax.Array, n: Vec3) -> Vec3:
 
 def pdf_cosine(n: Vec3, l: Vec3) -> jnp.ndarray:
     return jnp.maximum(0.0, l.dot(n)) / PI
+
+
+def sample_uniform_hemisphere(key: jax.Array, n: Vec3) -> Vec3:
+    """SemisphereUniform (distributions.rs:32-46): uniform sphere point,
+    flipped into n's hemisphere. Unused by the HEAD mixture (superseded by
+    cosine weighting) but part of the reference's distribution set."""
+    u = uniform_rows(key, 2, n.x.shape[0])
+    sph = unit_sphere_from_uniforms(u[0], u[1])
+    flip = jnp.where(sph.dot(n) > 0.0, 1.0, -1.0)
+    return sph * flip
+
+
+def pdf_uniform_hemisphere(n: Vec3, l: Vec3) -> jnp.ndarray:
+    """1/(2 pi) over the hemisphere (distributions.rs:48-50)."""
+    return jnp.where(l.dot(n) > 0.0, 1.0 / (2.0 * PI), 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..scene.types import BOX, ELLIPSOID, SceneArrays, SceneStatics, TRI
+from ..scene.types import BOX, ELLIPSOID, SceneArrays, SceneStatics
 from .intersect import (
     INF,
     box_normal,

@@ -179,7 +179,13 @@ class Renderer:
 
 
 def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
-    """One-shot render (reference ``render_scene``, src/rendering.rs:21)."""
+    """One-shot render (reference ``render_scene``, src/rendering.rs:21).
+
+    With more than one accelerator attached, the frame is rendered SPMD
+    over a (tile x spp) mesh (parallel/shard.py); single-chip otherwise.
+    """
+    if jax.device_count() > 1:
+        return _render_scene_sharded(desc, seed, **kw)
     r = Renderer(desc, **kw)
     t0 = time.perf_counter()
     img = r.render_u8(seed)
@@ -194,5 +200,52 @@ def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
         s.ray_depth,
         dt,
         rays / dt / 1e6,
+    )
+    return img
+
+
+def _render_scene_sharded(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
+    """Multi-chip frame render: rows over 'tile', samples over 'spp'.
+
+    Mesh factoring: put up to 2 devices on the spp axis when samples allow
+    (pmean merge over ICI), the rest on disjoint row tiles. Height/samples
+    are padded to divide evenly; padding rows are cropped after.
+    """
+    from ..ops.camera import camera_arrays
+    from ..parallel import make_mesh, render_frame_sharded
+    from ..scene.build import build_scene_arrays
+    from ..ops.tonemap import color_to_u8
+    from ..integrator.path import TraceConfig
+
+    ndev = jax.device_count()
+    s = desc.settings
+    n_spp = 2 if ndev % 2 == 0 and s.samples % 2 == 0 else 1
+    n_tiles = ndev // n_spp
+    mesh = make_mesh(n_tiles, n_spp)
+
+    arrays, statics = build_scene_arrays(desc)
+    backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
+    if backend == "bvh":
+        from ..ops.bvh import attach_bvh
+
+        arrays = attach_bvh(arrays, statics)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    cam = camera_arrays(s.camera)
+    cfg = TraceConfig(
+        ray_depth=s.ray_depth, bg_color=tuple(s.bg_color), backend=backend
+    )
+
+    pad_h = (-s.height) % n_tiles
+    height = s.height + pad_h
+    t0 = time.perf_counter()
+    rad = render_frame_sharded(
+        jax.random.PRNGKey(seed), arrays, statics, cam, cfg,
+        s.width, height, s.samples, mesh,
+    )
+    img = np.asarray(color_to_u8(rad))[: s.height]
+    log.info(
+        "sharded render (%s): %dx%d @ %d spp in %.2fs",
+        dict(mesh.shape), s.width, s.height, s.samples,
+        time.perf_counter() - t0,
     )
     return img

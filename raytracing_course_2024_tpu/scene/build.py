@@ -22,7 +22,6 @@ from .types import (
     BOX,
     ELLIPSOID,
     TRI,
-    BvhArrays,
     LightCol,
     PlaneCol,
     PrimCol,

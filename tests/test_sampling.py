@@ -308,3 +308,21 @@ def test_light_sampler_hits_lights(name):
     l = sample_light_dir(jax.random.PRNGKey(4), point, arrays, statics)
     pdfs = pdf_lights(point, l, arrays, statics)
     assert float(jnp.mean(pdfs > 0)) > 0.999, name
+
+
+def test_uniform_hemisphere():
+    from raytracing_course_2024_tpu.ops.sampling import (
+        pdf_uniform_hemisphere,
+        sample_uniform_hemisphere,
+    )
+
+    n = vec_const(0.0, 0.6, 0.8, N_SAMPLES)
+    l = sample_uniform_hemisphere(jax.random.PRNGKey(9), n)
+    assert float(jnp.min(l.dot(n))) > 0.0
+    # pdf integrates to 1 (reference tests.rs pattern)
+    n1 = vec_const(0.0, 0.6, 0.8, N_INTEGRAL)
+    integral = sphere_integral(lambda d: pdf_uniform_hemisphere(n1, d))
+    assert abs(integral - 1.0) < 0.02
+    # octant consistency
+    mass, freq = octant_masses(lambda d: pdf_uniform_hemisphere(n1, d), l)
+    assert np.all(np.abs(mass - freq) < 0.015)

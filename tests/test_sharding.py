@@ -103,3 +103,16 @@ def test_spp_only_mesh():
     )
     assert img.shape == (16, 32, 3)
     assert np.isfinite(img).all()
+
+
+def test_render_scene_auto_shards():
+    """render_scene engages the SPMD path when >1 device is attached
+    (this test env has the 8-device virtual CPU mesh)."""
+    from raytracing_course_2024_tpu.runtime.render import render_scene
+    from raytracing_course_2024_tpu.scene import parse_text_scene
+
+    desc = parse_text_scene(SCENE)
+    img = render_scene(desc)
+    assert img.shape == (16, 32, 3)
+    assert img.dtype == np.uint8
+    assert img.max() > 10
