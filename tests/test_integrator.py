@@ -172,3 +172,75 @@ def test_light_sampling_reduces_variance():
     assert np.isfinite(rad).all()
     assert rad.max() > 0.05
     assert rad.min() >= 0.0
+
+
+SPHERE_LIGHT_SCENE = """
+DIMENSIONS 8 8
+RAY_DEPTH 2
+SAMPLES 4096
+BG_COLOR 0 0 0
+CAMERA_POSITION 0 1 0
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 0 -1
+CAMERA_FORWARD 0 -1 0
+CAMERA_FOV_X 0.05
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+COLOR 0.6 0.6 0.6
+
+NEW_PRIMITIVE
+ELLIPSOID 0.2 0.2 0.2
+POSITION 0 2 0
+EMISSION 5 5 5
+"""
+
+
+def test_direct_lighting_matches_analytic():
+    """End-to-end MIS validation against closed-form transport.
+
+    A Lambertian floor (rho = 0.6) lit head-on by a small spherical emitter
+    (radius r = 0.2, distance d = 2, radiance L_e = 5) at depth 2 receives
+    exactly L = rho * L_e * (r/d)^2 = 0.03 -- scaled by the reference's
+    rejection-inflation factor 1/P(accept) (rendering.rs:102-110), which we
+    measure from the sampler itself (single-try acceptance rate) so the
+    check is not circular.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from raytracing_course_2024_tpu.ops.sampling import sample_mixture
+    from raytracing_course_2024_tpu.ops.vec import Vec3
+    from raytracing_course_2024_tpu.scene import build_scene_arrays
+
+    desc = parse_text_scene(SPHERE_LIGHT_SCENE)
+    rad = render_radiance(SPHERE_LIGHT_SCENE)
+    measured = rad.mean(axis=(0, 1))  # narrow fov: all pixels ~ the center
+
+    # measure the per-try acceptance probability P(A) at the hit state
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    b = 100_000
+
+    def vc(x, y, z):
+        return Vec3(
+            jnp.full((b,), x, jnp.float32),
+            jnp.full((b,), y, jnp.float32),
+            jnp.full((b,), z, jnp.float32),
+        )
+
+    point = vc(0.0, 1e-4, 0.0)
+    up = vc(0.0, 1.0, 0.0)
+    rough = jnp.ones((b,), jnp.float32)
+    _, _, ok = sample_mixture(
+        jax.random.PRNGKey(0), point, up, up, up, rough, arrays, statics,
+        need=jnp.ones((b,), bool), max_tries=1,
+    )
+    p_accept = float(jnp.mean(ok))
+    assert 0.5 < p_accept <= 1.0
+
+    analytic = 0.6 * 5.0 * (0.2 / 2.0) ** 2 / p_accept
+    for c in range(3):
+        assert abs(measured[c] - analytic) < 0.08 * analytic, (
+            measured, analytic, p_accept,
+        )
