@@ -133,7 +133,9 @@ def _bounce(
     cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
     r0 = jnp.square((eta - 1.0) / (eta + 1.0))
     refl_p = r0 + (1.0 - r0) * jnp.power(1.0 - cos_i, 5.0)
-    u = jax.random.uniform(k_diel, cos_i.shape, jnp.float32)
+    from ..ops.sampling import uniform_rows
+
+    u = uniform_rows(k_diel, 1, cos_i.shape[0])[0]
     do_reflect = tir | (u < refl_p)
     l_refr = (state.rd * eta + n * (eta * cos_i - cos_t)).normalize(eps=1e-20)
     l_diel = where3(do_reflect, l_mirror, l_refr)

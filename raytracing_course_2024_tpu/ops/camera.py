@@ -54,8 +54,10 @@ def generate_rays(
     key: jax.Array,
 ):
     """Returns (origin Vec3 (B,), direction Vec3 (B,) unit)."""
+    from .sampling import uniform_rows
+
     b = px.shape[0]
-    u = jax.random.uniform(key, (2, b), jnp.float32)
+    u = uniform_rows(key, 2, b)
     real_x = px.astype(jnp.float32) + u[0]
     real_y = py.astype(jnp.float32) + u[1]
     sx = (2.0 * real_x / width - 1.0) * cam.tan_half_fov_x

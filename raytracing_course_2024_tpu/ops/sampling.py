@@ -75,12 +75,29 @@ def from_frame_local(t1: Vec3, t2: Vec3, n: Vec3, v: Vec3) -> Vec3:
 # ---------------------------------------------------------------------------
 
 
+import os as _os
+
+_RNG_BITS = int(_os.environ.get("RT_RNG_BITS", "32"))
+
+
 def uniform_rows(key: jax.Array, rows: int, b: int):
     """``rows`` independent U(0,1) vectors of length b from ONE threefry
-    sweep. Drawn as a flat (rows*b,) array and split with static 1-D slices
-    -- contiguous and free, unlike row reads of a (rows, b) 2D array (a
-    sublane relayout per row on TPU)."""
-    flat = jax.random.uniform(key, (rows * b,), jnp.float32)
+    sweep. Drawn flat and split with static 1-D slices -- contiguous and
+    free, unlike row reads of a (rows, b) 2D array (a sublane relayout per
+    row on TPU).
+
+    RT_RNG_BITS=16 packs TWO 16-bit uniforms per threefry u32 (65536
+    levels -- far below MC noise at any practical spp; verified bias-free
+    at 256 spp). Measured a wash on v5e (the lo/hi concatenate pass eats
+    the halved PRNG cost), so full 32-bit draws stay the default."""
+    if _RNG_BITS >= 24:
+        flat = jax.random.uniform(key, (rows * b,), jnp.float32)
+        return [jax.lax.slice(flat, (i * b,), ((i + 1) * b,)) for i in range(rows)]
+    n32 = (rows * b + 1) // 2
+    bits = jax.random.bits(key, (n32,), jnp.uint32)
+    lo = (bits & 0xFFFF).astype(jnp.float32)
+    hi = (bits >> 16).astype(jnp.float32)
+    flat = jnp.concatenate([lo, hi]) * jnp.float32(1.0 / 65536.0)
     return [jax.lax.slice(flat, (i * b,), ((i + 1) * b,)) for i in range(rows)]
 
 
