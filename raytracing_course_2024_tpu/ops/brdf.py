@@ -30,9 +30,7 @@ PI = math.pi
 _SAFE = 1e-12
 
 
-def chi_plus(x: jnp.ndarray) -> jnp.ndarray:
-    """Heaviside (reference src/utils.rs:7)."""
-    return jnp.where(x > 0.0, 1.0, 0.0)
+from ..utils.math import chi_plus, safe_sqrt  # noqa: F401  (reference src/utils.rs)
 
 
 def fresnel(f0: Vec3, f90: Vec3, h_dot_l: jnp.ndarray) -> Vec3:
