@@ -39,6 +39,12 @@ def load_scene(path: str, width: int = 0, height: int = 0, samples: int = 0):
     """Dispatch on extension. For .txt, width/height/samples come from the
     file (argv values, if nonzero, override -- matching the reference CLI
     contract where glTF gets them from argv, src/main.rs:37-43)."""
+    if path.endswith(".bin"):
+        raise ValueError(
+            f"{path} is a raw glTF buffer, not a scene: its .gltf JSON "
+            "wrapper is required (the course snapshot's practice6_1.bin is "
+            "orphaned -- no loader, including the reference's, can ingest it)"
+        )
     if path.endswith(".gltf") or path.endswith(".glb"):
         if not (width and height and samples):
             raise ValueError("glTF scenes require width/height/samples")

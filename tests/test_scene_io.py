@@ -137,3 +137,8 @@ def test_gltf_emissive_strength(scenes_dir):
     # KHR_materials_emissive_strength multiplies emissive_factor; Cornell
     # lights are much brighter than 1
     assert max(np.max(p.emission) for p in lights) > 1.0
+
+
+def test_orphaned_bin_rejected(scenes_dir):
+    with pytest.raises(ValueError, match="raw glTF buffer"):
+        load_scene(scene_path("practice6_1.bin"), 8, 8, 1)
