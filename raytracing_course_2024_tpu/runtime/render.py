@@ -27,6 +27,7 @@ from ..scene.types import SceneDesc
 log = logging.getLogger("rt_tpu")
 
 DEFAULT_BATCH = 1_048_576  # ~1M lanes amortizes per-fusion overheads (measured)
+BVH_BATCH = 262_144  # treelet path: (B, T) key passes cap the useful batch
 BVH_THRESHOLD = 2048  # finite prims above this use the BVH backend
 
 
@@ -52,6 +53,8 @@ class Renderer:
             arrays = attach_bvh(arrays, statics)
         self.arrays = jax.tree.map(jnp.asarray, arrays)
         self.backend = backend
+        if backend == "bvh" and batch_size == DEFAULT_BATCH:
+            batch_size = BVH_BATCH
         self.batch_size = batch_size
         self.cam = camera_arrays(self.settings.camera)
         self.cfg = TraceConfig(
