@@ -345,7 +345,9 @@ def surface_detail(
         ior = jnp.where(ip, gp[PL.IOR], ior)
         mkind = jnp.where(ip, gp[PL.MKIND], mkind)
 
-    t_final = jnp.where(hit.valid, hit.t, t_best)
+    # miss lanes carry t = inf; clamp so downstream (masked) math never sees
+    # inf/NaN coordinates
+    t_final = jnp.where(hit.valid, hit.t, 1.0)
     point = ro + rd * (t_final - eps_backoff)
     return Surface(
         t=t_final,

@@ -19,7 +19,9 @@ from raytracing_course_2024_tpu.scene import load_scene
 GOLDEN = {
     ("practice3_1.txt", (64, 48), 8): (0.508024, 0.504795, 0.574348),
     ("practice3_2.txt", (64, 48), 8): (0.093939, 0.045849, 0.023313),
+    ("practice3_3.txt", (64, 48), 8): (0.206112, 0.159184, 0.206268),
     ("practice3_4.txt", (48, 48), 8): (0.173044, 0.172514, 0.172068),
+    ("practice3_5.txt", (64, 48), 8): (0.202289, 0.211831, 0.144898),
     ("practice7_1.gltf", (64, 36), 8): (0.479286, 0.401971, 0.480897),
 }
 
