@@ -321,20 +321,19 @@ def validate_bvh(host_bvh: _HostBvh, amin: np.ndarray, amax: np.ndarray) -> None
 def validate_treelets(scn: SceneArrays, statics: SceneStatics) -> None:
     """Treelet invariants on the padded device arrays: every real primitive's
     AABB is contained in its treelet's AABB; fill slots never intersect."""
-    from .treelet import TREELET_SLOTS
-
     tl = scn.bvh
     aabb = np.asarray(tl.aabb, np.float64)  # (6, T)
     amin, amax = primitive_aabbs(scn)
     n_pad = amin.shape[0]
     t = aabb.shape[1]
-    assert n_pad == t * TREELET_SLOTS
+    assert n_pad % t == 0
+    slots = n_pad // t
     # fill rows are zero-vert triangles: detect via degenerate extent
     extent = (amax - amin).max(axis=1)
     real = extent > 3e-4  # fill rows have extent == 2*AABB_EPS
     tol = 1e-4
     for ti in range(t):
-        rows = slice(ti * TREELET_SLOTS, (ti + 1) * TREELET_SLOTS)
+        rows = slice(ti * slots, (ti + 1) * slots)
         r = real[rows]
         if not r.any():
             continue

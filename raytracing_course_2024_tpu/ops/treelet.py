@@ -42,8 +42,11 @@ TREELET_SLOTS = 128
 
 class TreeletArrays(NamedTuple):
     aabb: "jnp.ndarray"  # (6, T) f32: minx,miny,minz,maxx,maxy,maxz
-    blocks: "jnp.ndarray"  # (Cg, T, SLOTS) f32 geometry columns
-    # Cg = 9 (tri verts) for all-triangle scenes, 18 (+ptype,pos,rot) mixed
+    blocks: "jnp.ndarray"  # (Cg, T, SLOTS) f32 geometry column planes; one
+    # embedding gather per plane per round. (A single packed (T, Cg*SLOTS)
+    # gather was measured 14% slower in the full trace -- separate planes
+    # fuse better with their consumers.) Cg = 9 (tri verts) all-triangle,
+    # 17 (+ptype, pos, rot) mixed.
 
 
 def _geom_cols(scn_np, statics) -> list:
@@ -147,10 +150,10 @@ def pad_to_slots(ranges, n: int, max_slots: int = TREELET_SLOTS):
 
 
 def _test_treelet(tl, tid, ro_b, rd_b, statics, tmin, best_t, best_idx, active):
-    """Fetch treelet ``tid`` per ray (embedding-style block gathers) and
-    dense-test its slots; returns updated (best_t, best_idx)."""
-    slots = tl.blocks.shape[2]
+    """Fetch treelet ``tid`` per ray (one embedding gather per geometry
+    plane) and dense-test its slots; returns updated (best_t, best_idx)."""
     n_rows = tl.blocks.shape[0]
+    slots = tl.blocks.shape[2]
     rows = [jnp.take(tl.blocks[k], tid, axis=0) for k in range(n_rows)]
     prim = _prim_ref_from_blocks(rows, statics)
     ts = _prim_ts(ro_b, rd_b, prim, statics, tmin)  # (B, SLOTS)
