@@ -38,6 +38,12 @@ from ..ops.vec import Vec3, reflect, where3
 from ..scene.types import DIELECTRIC, MIRROR, SceneArrays, SceneStatics
 
 
+def _no_pallas() -> bool:
+    import os
+
+    return bool(os.environ.get("RT_NO_PALLAS"))
+
+
 class TraceConfig(NamedTuple):
     """Static (compile-time) integrator parameters."""
 
@@ -48,6 +54,11 @@ class TraceConfig(NamedTuple):
     # retry) -- well inside MC noise -- and is ~25% faster than 8.
     max_tries: int = 4
     backend: str = "dense"  # "dense" | "bvh"
+    # mixture sampler: "auto" uses the fused Pallas kernel on real TPU
+    # (statistically identical, different RNG stream; the interpreter's
+    # PRNG is degenerate so CPU stays on the XLA sampler), "xla"/"pallas"
+    # force one.
+    sampler: str = "auto"
 
 
 def _nearest(ro, rd, scn, statics, cfg: TraceConfig):
@@ -104,7 +115,15 @@ def _bounce(
     need_sample = alive & ~is_delta
 
     k_mix, k_diel = jax.random.split(key)
-    l_s, pdf, ok = sample_mixture(
+    use_pallas = cfg.sampler == "pallas" or (
+        cfg.sampler == "auto"
+        and jax.default_backend() == "tpu"
+        and not _no_pallas()
+    )
+    mixture = sample_mixture
+    if use_pallas:
+        from ..ops.pallas_sampling import sample_mixture_pallas as mixture
+    l_s, pdf, ok = mixture(
         k_mix,
         surf.point,
         n,

@@ -40,20 +40,20 @@ from .vec import Quat, Vec3, reflect, where3
 PI = math.pi
 _SAFE = 1e-9
 
-# the reference's fixed tangent-frame seed vector (distributions.rs:265)
-_T_SEED = Vec3(
-    jnp.float32(0.234 / 1.0), jnp.float32(0.1234), jnp.float32(0.97686)
-)
+# the reference's fixed tangent-frame seed vector (distributions.rs:265),
+# pre-normalized as python floats (no traced module constants -- they would
+# be "captured constants" inside Pallas kernel bodies)
+_T_NORM = math.sqrt(0.234**2 + 0.1234**2 + 0.97686**2)
+_T_SEED = (0.234 / _T_NORM, 0.1234 / _T_NORM, 0.97686 / _T_NORM)
 
 
 def tangent_frame(n: Vec3):
     """Orthonormal (t1, t2, n) built exactly like the reference
     (distributions.rs:265-267): t1 = normalize(n x seed), t2 = normalize(n x t1)."""
-    seed = _T_SEED.normalize()
     seed = Vec3(
-        jnp.broadcast_to(seed.x, n.x.shape),
-        jnp.broadcast_to(seed.y, n.x.shape),
-        jnp.broadcast_to(seed.z, n.x.shape),
+        jnp.full_like(n.x, _T_SEED[0]),
+        jnp.full_like(n.x, _T_SEED[1]),
+        jnp.full_like(n.x, _T_SEED[2]),
     )
     t1 = n.cross(seed).normalize()
     t2 = n.cross(t1).normalize()
@@ -233,13 +233,15 @@ class _LightGather(NamedTuple):
     rot: Quat
 
 
-def _gather_light(scn: SceneArrays, li: jnp.ndarray) -> _LightGather:
+def _gather_light(lp: jnp.ndarray, li: jnp.ndarray) -> _LightGather:
     """One packed gather from the pre-gathered light table (build_packs) --
-    no double indirection, no (B, 3) row gathers (ops/gather.py)."""
+    no double indirection, no (B, 3) row gathers (ops/gather.py). ``lp`` is
+    the (LightCol.COUNT, L) pack (passed directly so this also runs inside
+    Pallas kernels, where SceneArrays is not available)."""
     from ..scene.types import LightCol as LC
     from .gather import take_packed
 
-    g = take_packed(scn.light_packed, li)  # (LightCol.COUNT, B)
+    g = take_packed(lp, li)  # (LightCol.COUNT, B)
 
     def v3r(base):
         return Vec3(g[base], g[base + 1], g[base + 2])
@@ -255,7 +257,7 @@ def _gather_light(scn: SceneArrays, li: jnp.ndarray) -> _LightGather:
 
 
 def sample_light_dir_u(
-    u: list, point: Vec3, scn: SceneArrays, statics: SceneStatics
+    u: list, point: Vec3, lp: jnp.ndarray, statics: SceneStatics
 ) -> Vec3:
     """Uniformly pick one emissive primitive, area-sample a surface point,
     return the unit direction from ``point`` toward it
@@ -264,7 +266,7 @@ def sample_light_dir_u(
     li = jnp.minimum(
         (u[5] * statics.num_lights).astype(jnp.int32), statics.num_lights - 1
     )
-    lg = _gather_light(scn, li)
+    lg = _gather_light(lp, li)
 
     # --- box face sampling (distributions.rs:86-110) ---
     s = lg.p0
@@ -310,11 +312,17 @@ def sample_light_dir(
     key: jax.Array, point: Vec3, scn: SceneArrays, statics: SceneStatics
 ) -> Vec3:
     u = uniform_rows(key, 6, point.x.shape[0])
-    return sample_light_dir_u(u, point, scn, statics)
+    return sample_light_dir_u(u, point, scn.light_packed, statics)
 
 
 def pdf_lights(
     point: Vec3, l: Vec3, scn: SceneArrays, statics: SceneStatics
+) -> jnp.ndarray:
+    return pdf_lights_lp(point, l, scn.light_packed, statics)
+
+
+def pdf_lights_lp(
+    point: Vec3, l: Vec3, lp: jnp.ndarray, statics: SceneStatics
 ) -> jnp.ndarray:
     """Mixture-light pdf: for the ray (point, l), sum the area->solid-angle
     converted pdf over EVERY light-primitive intersection, divided by the
@@ -326,7 +334,6 @@ def pdf_lights(
     1-18)."""
     from ..scene.types import LightCol as LC
 
-    lp = scn.light_packed
     total = point.x * 0.0
 
     def contrib(t, n_dot_l, local_pdf, valid):
@@ -439,7 +446,9 @@ def sample_mixture(
     cand = where3(which == 1, sample_vndf_u(u[1], u[2], n_t, v_t, rough_t), cand)
     if statics.num_lights > 0:
         cand = where3(
-            which == 2, sample_light_dir_u(u[1:7], point_t, scn, statics), cand
+            which == 2,
+            sample_light_dir_u(u[1:7], point_t, scn.light_packed, statics),
+            cand,
         )
 
     # --- cheap acceptance test per candidate ---

@@ -10,15 +10,19 @@ enough -- we must update jax.config after import (before any backend use).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("RT_TEST_TPU"):
+    # run the TPU-gated subset on real hardware:
+    #   RT_TEST_TPU=1 pytest tests/test_pallas_sampler.py
+    pass
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
