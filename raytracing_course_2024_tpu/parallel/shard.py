@@ -84,6 +84,9 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=P(),
         out_specs=P("tile", None, None),
+        # pallas_call outputs carry no vma annotation; skip the checker
+        # (correctness is covered by the virtual-mesh tests)
+        check_vma=False,
     )
     return fn(key)
 

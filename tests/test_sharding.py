@@ -116,3 +116,28 @@ def test_render_scene_auto_shards():
     assert img.shape == (16, 32, 3)
     assert img.dtype == np.uint8
     assert img.max() > 10
+
+
+def test_sharded_with_pallas_dense_kernel(scenes_dir):
+    """All-triangle small scenes route the dense intersect through the
+    Pallas kernel (interpret mode here); it must compose with shard_map
+    (regression: vma checking rejected pallas_call outputs)."""
+    from conftest import scene_path
+    from raytracing_course_2024_tpu.ops.camera import camera_arrays
+    from raytracing_course_2024_tpu.scene import build_scene_arrays, load_scene
+
+    desc = load_scene(scene_path("practice7_1.gltf"), 32, 16, 4)
+    arrays, statics = build_scene_arrays(desc)
+    assert arrays.tri_pack is not None  # pallas-eligible
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    cam = camera_arrays(desc.settings.camera)
+    cfg = TraceConfig(ray_depth=3, bg_color=(0, 0, 0))
+    mesh = make_mesh(4, 2)
+    img = np.asarray(
+        render_frame_sharded(
+            jax.random.PRNGKey(1), arrays, statics, cam, cfg, 32, 16, 4, mesh
+        )
+    )
+    assert img.shape == (16, 32, 3)
+    assert np.isfinite(img).all()
+    assert img.max() > 0.05
