@@ -14,16 +14,19 @@ import os as _os
 
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache: one-shot CLI renders are otherwise
-    dominated by (remote) compilation. Opt out with RT_NO_COMPILE_CACHE=1."""
-    if _os.environ.get("RT_NO_COMPILE_CACHE"):
+    """Opt-in persistent XLA compilation cache (RT_COMPILE_CACHE=<dir>).
+
+    Off by default: on this image's axon remote-compile tunnel the cache
+    was measured actively harmful for large programs (a 256-spp render:
+    38 s cold WITHOUT the cache vs 80-195 s WITH it -- misses plus slow
+    giant-executable (de)serialization). On a conventional jaxlib install
+    it behaves normally and helps one-shot CLI renders."""
+    path = _os.environ.get("RT_COMPILE_CACHE")
+    if not path:
         return
     try:
         import jax
 
-        path = _os.environ.get(
-            "RT_COMPILE_CACHE", _os.path.expanduser("~/.cache/rt_tpu_jax")
-        )
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
