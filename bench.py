@@ -1,18 +1,27 @@
-"""Headline benchmark: Mrays/sec/chip on practice7_1 (Cornell box, glTF).
+"""Benchmarks: Mrays/sec/chip over the BASELINE.json config matrix.
 
 Metric contract (BASELINE.json:2): Mrays/sec/chip + wall-time for a
 1280x720 @ 256 spp frame. Rays = path vertices (one scene intersection per
 live bounce), counted exactly by the instrumented integrator -- the same
 accounting SURVEY.md section 6 uses (~1.4 G vertices for that frame).
 
-The run measures steady-state throughput at RT_BENCH_SPP (default 16 --
-throughput is spp-invariant since the program is identical per sample) and
-reports the exact measured Mrays/s; the 256-spp wall-time it implies is
-printed as context. vs_baseline is against the 200 Mrays/s/chip north-star
-target (BASELINE.json:5) -- the reference itself publishes no numbers
-(BASELINE.md).
+Modes:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* default (driver contract): the HEADLINE config -- practice7_1 1280x720,
+  throughput measured at RT_BENCH_SPP (default 16; spp-invariant program)
+  -- printed as ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+  vs_baseline is against the 200 Mrays/s/chip north-star (BASELINE.json:5);
+  the reference publishes no numbers (BASELINE.md).
+* RT_BENCH_MATRIX=1: every BASELINE.json config (practice3_1 @16,
+  practice3_2..5 @64, practice7_1 @256, practice7_2/7_3/7_4 @1024);
+  throughput measured at a per-config measure-spp, the contract-spp wall
+  time derived, plus a MEASURED full-contract-spp frame where
+  RT_BENCH_FULL=1 (always for practice7_1 -- VERDICT r1 weak #2). One JSON
+  line per config + a markdown table on stderr. practice6_1 is excluded:
+  its glTF JSON wrapper is absent from the reference snapshot (orphaned
+  .bin, SURVEY.md section 2.2).
+
+Env knobs: RT_BENCH_{SCENE,W,H,SPP,BATCH,REPS,MATRIX,FULL}.
 """
 
 import json
@@ -24,27 +33,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TARGET = 200.0  # Mrays/s/chip north-star (BASELINE.json:5)
 
-def main():
-    from raytracing_course_2024_tpu.integrator.path import TraceConfig, render_pixels
-    from raytracing_course_2024_tpu.ops.camera import camera_arrays
-    from raytracing_course_2024_tpu.scene import SCENES_DIR, load_scene
-    from raytracing_course_2024_tpu.scene.build import build_scene_arrays
+# (scene, w, h, contract_spp, measure_spp) -- BASELINE.json:6-12
+MATRIX = [
+    ("practice3_1.txt", 640, 480, 16, 16),
+    ("practice3_2.txt", 640, 480, 64, 16),
+    ("practice3_3.txt", 640, 480, 64, 16),
+    ("practice3_4.txt", 640, 480, 64, 16),
+    ("practice3_5.txt", 640, 480, 64, 16),
+    ("practice7_1.gltf", 1280, 720, 256, 16),
+    ("practice7_2.gltf", 1280, 720, 1024, 4),
+    ("practice7_3.gltf", 1280, 720, 1024, 4),
+    ("practice7_4.gltf", 1280, 720, 1024, 16),
+]
 
-    width = int(os.environ.get("RT_BENCH_W", "1280"))
-    height = int(os.environ.get("RT_BENCH_H", "720"))
-    spp = int(os.environ.get("RT_BENCH_SPP", "16"))
-    scene = os.environ.get(
-        "RT_BENCH_SCENE", os.path.join(SCENES_DIR, "practice7_1.gltf")
+
+def bench_one(scene: str, width: int, height: int, spp: int,
+              reps: int, batch_cap: int, full_spp: int | None = None):
+    """Measure steady-state throughput (and optionally one full
+    ``full_spp`` frame) for a scene config. Returns a result dict."""
+    from raytracing_course_2024_tpu.integrator.path import (
+        TraceConfig, render_pixels,
     )
+    from raytracing_course_2024_tpu.ops.camera import camera_arrays
+    from raytracing_course_2024_tpu.runtime.render import (
+        BVH_BATCH, BVH_THRESHOLD,
+    )
+    from raytracing_course_2024_tpu.scene import load_scene
+    from raytracing_course_2024_tpu.scene.build import build_scene_arrays
 
     desc = load_scene(scene, width, height, spp)
     arrays, statics = build_scene_arrays(desc)
-    if statics.num_prims > 2048:
+    if statics.num_prims > BVH_THRESHOLD:
         from raytracing_course_2024_tpu.ops.bvh import attach_bvh
 
         arrays = attach_bvh(arrays, statics)
         backend = "bvh"
+        batch_cap = min(batch_cap, BVH_BATCH)
     else:
         backend = "dense"
     arrays = jax.tree.map(jnp.asarray, arrays)
@@ -55,14 +81,13 @@ def main():
         backend=backend,
     )
 
-    batch = int(os.environ.get("RT_BENCH_BATCH", "1048576"))
     total = width * height
-    batch = min(batch, total)
+    batch = min(batch_cap, total)
     num_batches = -(-total // batch)
 
     # ALL index math lives inside the one jitted program: on this TPU tunnel
     # every distinct host-side op fragment is its own remotely-compiled
-    # executable with a ~1.5 s first-use cost.
+    # executable (~1.5 s first use).
     @jax.jit
     def run(key, offset):
         lin = jnp.arange(batch, dtype=jnp.int32)
@@ -73,14 +98,12 @@ def main():
         )
 
     key = jax.random.PRNGKey(0)
-
     # warmup: compile + one-off device autotune pass (the first post-compile
     # execution is ~6x slower than steady state on the axon tunnel)
     for w in range(2):
         out, nrays = run(jax.random.fold_in(key, 1000 + w), jnp.int32(0))
         out.block_until_ready()
 
-    reps = int(os.environ.get("RT_BENCH_REPS", "3"))
     t0 = time.perf_counter()
     total_rays = 0.0
     for rep in range(reps):
@@ -93,25 +116,122 @@ def main():
     dt = (time.perf_counter() - t0) / reps
     total_rays /= reps
 
-    mrays = total_rays / dt / 1e6
-    wall_256 = dt * 256 / spp
-    scene_name = os.path.basename(scene)
+    res = {
+        "scene": os.path.basename(scene),
+        "size": f"{width}x{height}",
+        "backend": backend,
+        "measure_spp": spp,
+        "mrays": total_rays / dt / 1e6,
+        "wall_at_measure_spp": dt,
+        "path_vertices": total_rays,
+    }
+
+    if full_spp is not None and full_spp != spp:
+        # measured (not implied) wall time of one full contract-spp frame:
+        # same program, contract spp, every pixel once
+        dfull = load_scene(scene, width, height, full_spp)
+        cfgf = TraceConfig(
+            ray_depth=dfull.settings.ray_depth,
+            bg_color=tuple(dfull.settings.bg_color),
+            backend=backend,
+        )
+
+        @jax.jit
+        def run_full(key, offset):
+            lin = jnp.arange(batch, dtype=jnp.int32)
+            idx = jnp.minimum(lin + offset, total - 1)
+            return render_pixels(
+                key, idx % width, idx // width, cam, arrays, statics, cfgf,
+                width, height, full_spp, with_stats=True,
+            )
+
+        out, _ = run_full(key, jnp.int32(0))  # compile
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        rays_full = 0.0
+        for i in range(num_batches):
+            out, nrays = run_full(jax.random.fold_in(key, i), jnp.int32(i * batch))
+            rays_full += float(nrays)
+        out.block_until_ready()
+        res["full_spp"] = full_spp
+        res["wall_full_frame"] = time.perf_counter() - t0
+        res["mrays_full"] = rays_full / res["wall_full_frame"] / 1e6
+    return res
+
+
+def _emit(res, contract_spp):
+    scaled = res["wall_at_measure_spp"] * contract_spp / res["measure_spp"]
+    line = {
+        "metric": (
+            f"Mrays/sec/chip, {res['scene']} {res['size']} path vertices"
+        ),
+        "value": round(res["mrays"], 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(res["mrays"] / TARGET, 4),
+    }
+    print(json.dumps(line))
+    extra = ""
+    if "wall_full_frame" in res:
+        extra = (
+            f"; MEASURED {res['full_spp']}-spp frame: "
+            f"{res['wall_full_frame']:.2f}s ({res['mrays_full']:.1f} Mrays/s)"
+        )
     print(
-        f"# {scene_name} {width}x{height} @ {spp} spp ({backend}): {dt:.2f}s, "
-        f"{total_rays/1e6:.1f} M path-vertices, {mrays:.1f} Mrays/s; "
-        f"implied 256-spp frame: {wall_256:.1f}s",
+        f"# {res['scene']} {res['size']} @ {res['measure_spp']} spp "
+        f"({res['backend']}): {res['wall_at_measure_spp']:.2f}s, "
+        f"{res['path_vertices']/1e6:.1f} M path-vertices, "
+        f"{res['mrays']:.1f} Mrays/s; implied {contract_spp}-spp frame: "
+        f"{scaled:.1f}s{extra}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": f"Mrays/sec/chip, {scene_name} {width}x{height} path vertices",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 200.0, 4),
-            }
-        )
+    return line
+
+
+def main():
+    from raytracing_course_2024_tpu.scene import SCENES_DIR
+
+    reps = int(os.environ.get("RT_BENCH_REPS", "3"))
+    batch_cap = int(os.environ.get("RT_BENCH_BATCH", "1048576"))
+
+    if os.environ.get("RT_BENCH_MATRIX"):
+        full = bool(os.environ.get("RT_BENCH_FULL"))
+        rows = []
+        for scene, w, h, contract_spp, measure_spp in MATRIX:
+            want_full = full or scene == "practice7_1.gltf"
+            res = bench_one(
+                os.path.join(SCENES_DIR, scene), w, h, measure_spp,
+                reps=reps, batch_cap=batch_cap,
+                full_spp=contract_spp if want_full else None,
+            )
+            _emit(res, contract_spp)
+            rows.append((res, contract_spp))
+        print("\n| scene | size | contract spp | backend | Mrays/s | "
+              "wall (contract spp) |", file=sys.stderr)
+        print("|---|---|---|---|---|---|", file=sys.stderr)
+        for res, cspp in rows:
+            if "wall_full_frame" in res:
+                wall = f"{res['wall_full_frame']:.2f}s measured"
+            else:
+                wall = (
+                    f"{res['wall_at_measure_spp'] * cspp / res['measure_spp']:.2f}s"
+                    " implied"
+                )
+            print(
+                f"| {res['scene']} | {res['size']} | {cspp} | "
+                f"{res['backend']} | {res['mrays']:.1f} | {wall} |",
+                file=sys.stderr,
+            )
+        return
+
+    # headline (driver contract: ONE JSON line)
+    width = int(os.environ.get("RT_BENCH_W", "1280"))
+    height = int(os.environ.get("RT_BENCH_H", "720"))
+    spp = int(os.environ.get("RT_BENCH_SPP", "16"))
+    scene = os.environ.get(
+        "RT_BENCH_SCENE", os.path.join(SCENES_DIR, "practice7_1.gltf")
     )
+    res = bench_one(scene, width, height, spp, reps=reps, batch_cap=batch_cap)
+    _emit(res, 256)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,11 @@ class TraceConfig(NamedTuple):
     # PRNG is degenerate so CPU stays on the XLA sampler), "xla"/"pallas"
     # force one.
     sampler: str = "auto"
+    # reference-exact acceptance (pdf > 0 & l.n_shade > 0, signed cos term,
+    # rendering.rs:107+122) instead of the fast l.n_geom > 0 test. Slower
+    # (full mixture pdf on K*B candidate lanes); the image delta of the fast
+    # default is test-pinned (test_faithful_acceptance_deviation_bounded).
+    faithful: bool = False
 
 
 def _nearest(ro, rd, scn, statics, cfg: TraceConfig):
@@ -115,14 +120,25 @@ def _bounce(
     need_sample = alive & ~is_delta
 
     k_mix, k_diel = jax.random.split(key)
-    use_pallas = cfg.sampler == "pallas" or (
-        cfg.sampler == "auto"
-        and jax.default_backend() == "tpu"
-        and not _no_pallas()
+    from ..ops.sampling import UNROLL_MAX_LIGHTS
+
+    use_pallas = not cfg.faithful and (
+        cfg.sampler == "pallas"
+        or (
+            cfg.sampler == "auto"
+            and jax.default_backend() == "tpu"
+            and not _no_pallas()
+            # many-light scenes take the vectorized (B, L) light pdf, whose
+            # (BLK, L) intermediates would not fit the sampler kernel's VMEM
+            and statics.num_lights <= UNROLL_MAX_LIGHTS
+        )
     )
     mixture = sample_mixture
+    kw = {}
     if use_pallas:
         from ..ops.pallas_sampling import sample_mixture_pallas as mixture
+    else:
+        kw["faithful"] = cfg.faithful
     l_s, pdf, ok = mixture(
         k_mix,
         surf.point,
@@ -134,9 +150,14 @@ def _bounce(
         statics,
         need=need_sample,
         max_tries=cfg.max_tries,
+        **kw,
     )
     f = eval_brdf(l_s, n, v, surf.color, surf.metallic, surf.roughness, surf.mkind)
-    cos_l = jnp.maximum(l_s.dot(n), 0.0)
+    # the reference's cos term is SIGNED l.n_geom (rendering.rs:122): below
+    # the horizon the specular lobe is 0 (chi+ in G1) and the diffuse lobe
+    # contributes negatively. The fast sampler never accepts such l, so the
+    # clamp only guards its kill-path zeros; faithful mode keeps the sign.
+    cos_l = l_s.dot(n) if cfg.faithful else jnp.maximum(l_s.dot(n), 0.0)
     inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
     w_sampled = f * (cos_l * inv_pdf)
 

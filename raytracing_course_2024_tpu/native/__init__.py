@@ -12,9 +12,12 @@ tests.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
+import platform
 import subprocess
+import sys
 import threading
 
 import numpy as np
@@ -23,20 +26,57 @@ log = logging.getLogger("rt_tpu")
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "bvh_builder.cpp")
-_SO = os.environ.get(
-    "RT_NATIVE_SO", os.path.join(_HERE, "librt_native.so")
-)
 _lock = threading.Lock()
 _lib_cache = None
 
 
-def _compile() -> str:
+def _so_path() -> str:
+    """Cache path keyed by (source hash, host) -- the binary is built with
+    -march=native, so it must never be shared across CPU types (a committed
+    .so could SIGILL in-process on a different host)."""
+    override = os.environ.get("RT_NATIVE_SO")
+    if override:
+        return override
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    tag = f"{src_hash}-{platform.machine()}-{platform.node()}"
+    cache = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    d = os.path.join(cache, "rt_tpu_native")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"librt_native-{tag}.so")
+
+
+def _compile(so: str) -> str:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", _SO, _SRC,
+        "-o", so, _SRC,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
-    return _SO
+    return so
+
+
+def _selftest(so: str) -> bool:
+    """Exercise rt_build_bvh in a THROWAWAY subprocess first: an
+    incompatible binary dies there (SIGILL etc.) instead of killing us."""
+    code = (
+        "import ctypes,numpy as np;"
+        f"lib=ctypes.CDLL({so!r});"
+        "n=2;f64=ctypes.POINTER(ctypes.c_double);f32=ctypes.POINTER(ctypes.c_float);"
+        "i32=ctypes.POINTER(ctypes.c_int32);u8=ctypes.POINTER(ctypes.c_uint8);"
+        "lib.rt_build_bvh.restype=ctypes.c_int64;"
+        "amin=np.zeros((n,3));amax=np.ones((n,3));"
+        "po=np.empty(n,np.int32);nm=np.empty((4,3),np.float32);nx=np.empty((4,3),np.float32);"
+        "nl=np.empty(4,np.int32);nr=np.empty(4,np.int32);lf=np.empty(4,np.uint8);"
+        "c=lib.rt_build_bvh(amin.ctypes.data_as(f64),amax.ctypes.data_as(f64),"
+        "ctypes.c_int64(n),4,16,po.ctypes.data_as(i32),nm.ctypes.data_as(f32),"
+        "nx.ctypes.data_as(f32),nl.ctypes.data_as(i32),nr.ctypes.data_as(i32),"
+        "lf.ctypes.data_as(u8),ctypes.c_int64(4));"
+        "assert c>0"
+    )
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, timeout=60)
+    return r.returncode == 0
 
 
 def load_native():
@@ -44,11 +84,16 @@ def load_native():
     with _lock:
         if _lib_cache is not None:
             return _lib_cache
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+        so = _so_path()
+        fresh = False
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(
             _SRC
         ):
-            _compile()
-        lib = ctypes.CDLL(_SO)
+            _compile(so)
+            fresh = True
+        if fresh and not _selftest(so):
+            raise RuntimeError(f"native self-test failed for {so}")
+        lib = ctypes.CDLL(so)
         lib.rt_build_bvh.restype = ctypes.c_int64
         lib.rt_build_bvh.argtypes = [
             ctypes.POINTER(ctypes.c_double),  # amin

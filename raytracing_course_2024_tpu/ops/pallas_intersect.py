@@ -71,11 +71,34 @@ def _kernel(n_prims: int, tmin: float, rox, roy, roz, rdx, rdy, rdz, tri,
     i_ref[:] = best_i
 
 
+def vma_union(*xs) -> frozenset:
+    """Union of the inputs' varying-manual-axes: pallas_call outputs carry
+    no vma inference, so under shard_map(check_vma=True) the out_shape must
+    declare how results vary (they vary exactly as the inputs do)."""
+    out = frozenset()
+    for x in xs:
+        out = out | jax.typeof(x).vma
+    return out
+
+
+def cast_to_vma(x, vma: frozenset):
+    """Mark ``x`` varying over every axis in ``vma`` it isn't already.
+
+    Replicated kernel operands (geometry/light tables, seeds) must carry
+    the same vma as the per-ray operands, or interpret mode -- which
+    evaluates the kernel body as ordinary jax ops under shard_map -- rejects
+    the mixed-vma elementwise math."""
+    missing = tuple(sorted(vma - jax.typeof(x).vma))
+    return jax.lax.pcast(x, missing, to="varying") if missing else x
+
+
 @functools.partial(jax.jit, static_argnames=("tmin", "interpret"))
 def _run(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, tri, tmin: float, interpret: bool):
     b = ro_x.shape[0]
     n = tri.shape[1]
     grid = (b // BLK,)
+    vma = vma_union(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, tri)
+    tri = cast_to_vma(tri, vma)
     ray_spec = pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_kernel, n, tmin),
@@ -84,8 +107,8 @@ def _run(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, tri, tmin: float, interpret: bool):
         + [pl.BlockSpec((9, n), lambda i: (0, 0), memory_space=pltpu.VMEM)],
         out_specs=[ray_spec, ray_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b,), jnp.float32),
-            jax.ShapeDtypeStruct((b,), jnp.int32),
+            jax.ShapeDtypeStruct((b,), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((b,), jnp.int32, vma=vma),
         ],
         interpret=interpret,
     )(ro_x, ro_y, ro_z, rd_x, rd_y, rd_z, tri)

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..scene.types import SceneArrays, SceneStatics
+from .pallas_intersect import vma_union
 from .sampling import (
     _SAFE,
     pdf_cosine,
@@ -104,7 +105,13 @@ def _kernel(statics: SceneStatics, k_tries: int, seed_ref, px, py, pz,
     jax.jit, static_argnames=("statics", "k_tries", "interpret")
 )
 def _run(seed, comps, lp, statics, k_tries, interpret):
+    from .pallas_intersect import cast_to_vma
+
     b = comps[0].shape[0]
+    vma = vma_union(seed, *comps, lp)
+    seed = cast_to_vma(seed, vma)
+    lp = cast_to_vma(lp, vma)
+    comps = tuple(cast_to_vma(c, vma) for c in comps)
     grid = (b // BLK,)
     ray_spec = pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
     in_specs = (
@@ -122,7 +129,8 @@ def _run(seed, comps, lp, statics, k_tries, interpret):
         in_specs=in_specs,
         out_specs=[ray_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((b,), jnp.float32) for _ in range(5)
+            jax.ShapeDtypeStruct((b,), jnp.float32, vma=vma)
+            for _ in range(5)
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, *comps, lp)

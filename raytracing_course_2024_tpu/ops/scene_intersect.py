@@ -161,10 +161,19 @@ def nearest_hit_dense(
 
     Small all-triangle scenes take the fused Pallas kernel
     (ops/pallas_intersect.py) -- single VMEM pass, no (B, N) t-matrix in
-    HBM; everything else takes the chunked XLA sweep."""
+    HBM; everything else takes the chunked XLA sweep.
+
+    Off-TPU the kernel runs in interpret mode, whose internals can't carry
+    vma annotations -- under shard_map(check_vma=True) with varying rays
+    (jax 0.9: even a literal constant in the interpreted body trips the
+    checker) this falls back to the XLA sweep. Compiled TPU kernels are
+    unaffected (the body is opaque; outputs declare vma via out_shape)."""
     n = scn.ptype.shape[0]
 
-    if scn.tri_pack is not None and not _NO_PALLAS:
+    interpret_under_shard_map = (
+        jax.default_backend() != "tpu" and len(jax.typeof(ro.x).vma) > 0
+    )
+    if scn.tri_pack is not None and not _NO_PALLAS and not interpret_under_shard_map:
         from .pallas_intersect import pallas_dense_nearest
 
         best_t, best_idx = pallas_dense_nearest(ro, rd, scn.tri_pack, tmin)

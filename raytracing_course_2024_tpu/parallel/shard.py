@@ -52,14 +52,15 @@ def render_frame_sharded(
 ) -> jnp.ndarray:
     """Full-frame mean radiance (height, width, 3), computed SPMD.
 
-    Rows are sharded over the 'tile' axis (height must divide evenly --
-    callers pad), samples over the 'spp' axis, pmean-reduced.
+    ``height`` need not divide the tile count: rows are padded up to a
+    multiple of n_tiles for the iteration only, each padded row re-renders
+    the last real row (py clamped -- the camera NDC mapping always sees the
+    TRUE image height), and the pad is cropped before returning.
     """
     n_tiles = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
-    assert height % n_tiles == 0, (height, n_tiles)
     assert samples % n_spp == 0, (samples, n_spp)
-    rows_per = height // n_tiles
+    rows_per = -(-height // n_tiles)  # ceil: pad rows, never the camera
     spp_per = samples // n_spp
 
     def shard_fn(key):
@@ -71,8 +72,9 @@ def render_frame_sharded(
         lin = jnp.arange(rows_per * width, dtype=jnp.int32)
         # mark pixel coords as device-varying so every scan/while carry in
         # the integrator has a consistent varying type (jax >= 0.9 shard_map)
-        px = jax.lax.pvary(lin % width, ("tile", "spp"))
-        py = jax.lax.pvary(row0 + lin // width, ("spp",))  # row0 varies over tile
+        px = jax.lax.pcast(lin % width, ("tile", "spp"), to="varying")
+        py = jnp.minimum(row0 + lin // width, height - 1)  # varies over tile
+        py = jax.lax.pcast(py, ("spp",), to="varying")
         rad = render_pixels(
             k, px, py, cam, arrays, statics, cfg, width, height, spp_per
         )  # (rows_per*width, 3), mean over local spp
@@ -84,11 +86,9 @@ def render_frame_sharded(
         mesh=mesh,
         in_specs=P(),
         out_specs=P("tile", None, None),
-        # pallas_call outputs carry no vma annotation; skip the checker
-        # (correctness is covered by the virtual-mesh tests)
-        check_vma=False,
+        check_vma=True,
     )
-    return fn(key)
+    return fn(key)[:height]
 
 
 def compile_sharded_renderer(

@@ -40,6 +40,7 @@ class Renderer:
         backend: str | None = None,
         batch_size: int = DEFAULT_BATCH,
         max_tries: int = 4,
+        faithful: bool = False,
     ):
         self.desc = desc
         self.settings = desc.settings
@@ -62,6 +63,7 @@ class Renderer:
             bg_color=tuple(self.settings.bg_color),
             max_tries=max_tries,
             backend=backend,
+            faithful=faithful,
         )
 
         # all index math inside the jitted program: each extra host-side op
@@ -207,12 +209,20 @@ def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
     return img
 
 
-def _render_scene_sharded(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
+def _render_scene_sharded(
+    desc: SceneDesc,
+    seed: int = 0,
+    backend: str | None = None,
+    max_tries: int = 4,
+    batch_size: int | None = None,
+) -> np.ndarray:
     """Multi-chip frame render: rows over 'tile', samples over 'spp'.
 
     Mesh factoring: put up to 2 devices on the spp axis when samples allow
-    (pmean merge over ICI), the rest on disjoint row tiles. Height/samples
-    are padded to divide evenly; padding rows are cropped after.
+    (pmean merge over ICI), the rest on disjoint row tiles. Estimator
+    options (backend/max_tries) mean the same thing as in ``Renderer``;
+    ``batch_size`` does not apply (each device renders its whole tile in
+    one program) and is rejected so a caller's intent is never dropped.
     """
     from ..ops.camera import camera_arrays
     from ..parallel import make_mesh, render_frame_sharded
@@ -220,6 +230,11 @@ def _render_scene_sharded(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
     from ..ops.tonemap import color_to_u8
     from ..integrator.path import TraceConfig
 
+    if batch_size is not None:
+        raise ValueError(
+            "batch_size is single-device-only; the sharded renderer runs one "
+            "program per tile"
+        )
     ndev = jax.device_count()
     s = desc.settings
     n_spp = 2 if ndev % 2 == 0 and s.samples % 2 == 0 else 1
@@ -227,7 +242,8 @@ def _render_scene_sharded(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
     mesh = make_mesh(n_tiles, n_spp)
 
     arrays, statics = build_scene_arrays(desc)
-    backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
+    if backend is None:
+        backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
     if backend == "bvh":
         from ..ops.bvh import attach_bvh
 
@@ -235,17 +251,16 @@ def _render_scene_sharded(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
     arrays = jax.tree.map(jnp.asarray, arrays)
     cam = camera_arrays(s.camera)
     cfg = TraceConfig(
-        ray_depth=s.ray_depth, bg_color=tuple(s.bg_color), backend=backend
+        ray_depth=s.ray_depth, bg_color=tuple(s.bg_color),
+        max_tries=max_tries, backend=backend,
     )
 
-    pad_h = (-s.height) % n_tiles
-    height = s.height + pad_h
     t0 = time.perf_counter()
     rad = render_frame_sharded(
         jax.random.PRNGKey(seed), arrays, statics, cam, cfg,
-        s.width, height, s.samples, mesh,
+        s.width, s.height, s.samples, mesh,
     )
-    img = np.asarray(color_to_u8(rad))[: s.height]
+    img = np.asarray(color_to_u8(rad))
     log.info(
         "sharded render (%s): %dx%d @ %d spp in %.2fs",
         dict(mesh.shape), s.width, s.height, s.samples,

@@ -244,3 +244,142 @@ def test_direct_lighting_matches_analytic():
         assert abs(measured[c] - analytic) < 0.08 * analytic, (
             measured, analytic, p_accept,
         )
+
+
+# --- reference-faithful acceptance (rendering.rs:107 + signed cos 122) ------
+
+
+def _smooth_sphere_scene():
+    """A UV-sphere with SMOOTH vertex normals (n_shade != n_geom near the
+    silhouette -- the set where the fast and reference acceptance rules can
+    disagree), an emissive panel, and a floor."""
+    import math
+
+    from raytracing_course_2024_tpu.scene.types import (
+        CameraDesc, PrimitiveDesc, RenderSettings, SceneDesc,
+    )
+
+    prims = []
+    n_seg, n_ring = 12, 8
+    r = 1.0
+
+    def vert(i, j):
+        th = math.pi * j / n_ring
+        ph = 2 * math.pi * i / n_seg
+        return np.array(
+            [r * math.sin(th) * math.cos(ph), r * math.cos(th),
+             r * math.sin(th) * math.sin(ph)]
+        )
+
+    for j in range(n_ring):
+        for i in range(n_seg):
+            a, b = vert(i, j), vert(i + 1, j)
+            c, d = vert(i + 1, j + 1), vert(i, j + 1)
+            for tri in ([a, b, c], [a, c, d]):
+                p0, p1, p2 = tri
+                if np.linalg.norm(np.cross(p1 - p0, p2 - p0)) < 1e-9:
+                    continue  # degenerate pole quad half
+                prims.append(PrimitiveDesc(
+                    p0=p0 + np.array([0, 1, 0]),
+                    p1=p1 + np.array([0, 1, 0]),
+                    p2=p2 + np.array([0, 1, 0]),
+                    sn0=p0 / r, sn1=p1 / r, sn2=p2 / r,  # smooth normals
+                    color=np.array([0.8, 0.7, 0.6]),
+                    metallic=0.0, roughness=0.4, mkind=3,  # PBR
+                ))
+    # emissive panel above
+    prims.append(PrimitiveDesc(
+        p0=np.array([-1.5, 3.0, -1.5]), p1=np.array([1.5, 3.0, -1.5]),
+        p2=np.array([0.0, 3.0, 1.5]), emission=np.array([8.0, 8.0, 8.0]),
+        color=np.array([0, 0, 0.0]), mkind=3,
+    ))
+    # floor
+    prims.append(PrimitiveDesc(
+        p0=np.array([-9, 0, -9.0]), p1=np.array([9, 0, -9.0]),
+        p2=np.array([0, 0, 9.0]), color=np.array([0.6, 0.6, 0.6]), mkind=3,
+    ))
+    cam = CameraDesc(
+        position=np.array([0, 1.2, 4.0]), right=np.array([1, 0, 0.0]),
+        up=np.array([0, 1, 0.0]), forward=np.array([0, 0, -1.0]),
+        fov_x=1.1, fov_y=1.1 * 48 / 64,
+    )
+    settings = RenderSettings(
+        width=64, height=48, samples=32, ray_depth=4,
+        bg_color=(0.05, 0.05, 0.08), camera=cam,
+    )
+    return SceneDesc(settings=settings, primitives=prims, planes=[])
+
+
+def test_faithful_acceptance_deviation_bounded():
+    """Quantifies the shipped sampler's deviation from the reference
+    acceptance rule on a smooth-normal mesh (VERDICT r1 weak #5 / next #5).
+
+    fast:     accept iff l.n_shade > 0 AND l.n_geom > 0, cos clamped >= 0
+    faithful: accept iff l.n_shade > 0 AND mixture pdf > 0, cos SIGNED
+              (the reference, rendering.rs:107+122)
+
+    They differ only on the silhouette set {l.n_shade > 0, l.n_geom <= 0,
+    vndf-or-light pdf > 0}; measured image delta on this sphere scene:
+    mean |diff| ~= 2e-3 radiance (same-seed renders, mostly shared MC
+    stream), overall means within 0.5%. Pinned loosely below.
+    """
+    desc = _smooth_sphere_scene()
+    fast = Renderer(desc).render_radiance(seed=0)
+    faithful = Renderer(desc, faithful=True).render_radiance(seed=0)
+    assert np.isfinite(faithful).all()
+    m_fast, m_faith = float(fast.mean()), float(faithful.mean())
+    # the estimators share draws until an acceptance disagreement, so the
+    # difference below is deviation + residual-noise, an upper bound on bias
+    assert abs(m_fast - m_faith) < 0.01 * max(m_faith, 0.1), (m_fast, m_faith)
+    assert np.abs(fast - faithful).mean() < 0.02, np.abs(fast - faithful).mean()
+
+
+def test_acceptance_rules_disagreement_measure():
+    """Direct measure of the acceptance-rule disagreement on silhouette
+    geometry: nonzero (the round-1 'measure-~0' comment was wrong for
+    smooth normals) but small."""
+    from raytracing_course_2024_tpu.ops.sampling import sample_mixture
+    from raytracing_course_2024_tpu.ops.vec import Vec3
+    from raytracing_course_2024_tpu.scene import build_scene_arrays
+
+    desc = _smooth_sphere_scene()
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+
+    rng = np.random.default_rng(3)
+    b = 8192
+    # geometric normals on the unit sphere; shading normals tilted ~15-25
+    # degrees (a silhouette-adjacent configuration); v grazing
+    ng = rng.normal(size=(b, 3))
+    ng /= np.linalg.norm(ng, axis=1, keepdims=True)
+    tilt = rng.normal(size=(b, 3)) * 0.35
+    ns = ng + tilt
+    ns /= np.linalg.norm(ns, axis=1, keepdims=True)
+    v = rng.normal(size=(b, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v = np.where((v * ng).sum(1, keepdims=True) > 0, v, -v)  # upper hemi
+
+    def V(a):
+        return Vec3(*[jnp.asarray(a[:, i], jnp.float32) for i in range(3)])
+
+    point = V(ng * 1.0)  # on the sphere surface (world pos irrelevant here)
+    rough = jnp.full((b,), 0.4, jnp.float32)
+    need = jnp.ones((b,), bool)
+    key = jax.random.PRNGKey(5)
+    kw = dict(max_tries=4)
+    l_f, p_f, ok_f = sample_mixture(
+        key, point, V(ng), V(ns), V(v), rough, arrays, statics, need, **kw
+    )
+    l_r, p_r, ok_r = sample_mixture(
+        key, point, V(ng), V(ns), V(v), rough, arrays, statics, need,
+        faithful=True, **kw,
+    )
+    ok_f, ok_r = np.asarray(ok_f), np.asarray(ok_r)
+    # identical draws => faithful accepts a superset-ish of fast (it can
+    # also accept an EARLIER candidate, changing the selected direction)
+    changed = (ok_f != ok_r) | (
+        ok_f & ok_r & (np.abs(np.asarray(l_f.x) - np.asarray(l_r.x)) > 1e-6)
+    )
+    frac = changed.mean()
+    assert frac > 0.0, "deviation set unexpectedly empty"
+    assert frac < 0.10, f"acceptance rules disagree on {frac:.1%} of lanes"

@@ -326,3 +326,79 @@ def test_uniform_hemisphere():
     # octant consistency
     mass, freq = octant_masses(lambda d: pdf_uniform_hemisphere(n1, d), l)
     assert np.all(np.abs(mass - freq) < 0.015)
+
+
+def test_vectorized_light_pdf_matches_unrolled():
+    """The (B, L) masked sweep (_pdf_lights_vectorized, engaged above
+    UNROLL_MAX_LIGHTS) computes the identical sum as the static unroll."""
+    from raytracing_course_2024_tpu.ops.sampling import _pdf_lights_vectorized
+
+    for name, src in LIGHT_SCENES.items():
+        desc = parse_text_scene(src)
+        arrays, statics = build_scene_arrays(desc)
+        arrays = jax.tree.map(jnp.asarray, arrays)
+        rng = np.random.default_rng(6)
+        m = 512
+        dirs = rng.normal(size=(m, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        lv = Vec3(*[jnp.asarray(dirs[:, i], jnp.float32) for i in range(3)])
+        pt = vec_const(0.37, -0.21, 0.13, m)
+        unrolled = np.asarray(pdf_lights(pt, lv, arrays, statics))
+        vectorized = np.asarray(
+            _pdf_lights_vectorized(pt, lv, arrays.light_packed, statics)
+        )
+        assert np.allclose(unrolled, vectorized, rtol=2e-5, atol=1e-7), name
+
+
+def _emissive_mesh_scene(n_tris: int) -> str:
+    """A fan of n_tris emissive triangles around a circle (an 'area light
+    mesh'), plus one diffuse floor so the scene renders."""
+    import math as _math
+
+    parts = [
+        "DIMENSIONS 16 16", "RAY_DEPTH 3", "SAMPLES 2",
+        "BG_COLOR 0 0 0",
+        "CAMERA_POSITION 0 1 6", "CAMERA_RIGHT 1 0 0", "CAMERA_UP 0 1 0",
+        "CAMERA_FORWARD 0 0 -1", "CAMERA_FOV_X 1.2",
+        "NEW_PRIMITIVE", "PLANE 0 1 0", "COLOR 0.7 0.7 0.7",
+    ]
+    for i in range(n_tris):
+        a0 = 2 * _math.pi * i / n_tris
+        a1 = 2 * _math.pi * (i + 1) / n_tris
+        parts += [
+            "NEW_PRIMITIVE",
+            f"TRIANGLE 0 3 0  {2*_math.cos(a0):.5f} 3 {2*_math.sin(a0):.5f}"
+            f"  {2*_math.cos(a1):.5f} 3 {2*_math.sin(a1):.5f}",
+            "EMISSION 1 1 1",
+        ]
+    return "\n".join(parts)
+
+
+def test_many_lights_bounded_compile():
+    """200 emissive triangles must take the vectorized light-pdf path:
+    compiles in bounded time (the static unroll would emit 200 shape
+    kernels) and matches the f64 oracle pointwise."""
+    from raytracing_course_2024_tpu.ops.sampling import UNROLL_MAX_LIGHTS
+
+    desc = parse_text_scene(_emissive_mesh_scene(200))
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    assert statics.num_lights == 200 > UNROLL_MAX_LIGHTS
+    rng = np.random.default_rng(7)
+    m = 256
+    dirs = rng.normal(size=(m, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    lv = Vec3(*[jnp.asarray(dirs[:, i], jnp.float32) for i in range(3)])
+    pt = vec_const(0.1, 0.5, 0.2, m)
+    mine = np.asarray(pdf_lights(pt, lv, arrays, statics), np.float64)
+    ref = np.array(
+        [_oracle_pdf(desc, np.array([0.1, 0.5, 0.2]), d) for d in dirs]
+    )
+    ok = np.abs(mine - ref) <= 2e-3 * (1.0 + np.abs(ref))
+    assert ok.mean() > 0.99, ((~ok).sum(), mine[~ok][:5], ref[~ok][:5])
+
+    # and the full integrator renders it end-to-end
+    from raytracing_course_2024_tpu.runtime.render import Renderer
+
+    img = Renderer(desc).render_radiance(seed=0)
+    assert np.isfinite(img).all() and img.max() > 0

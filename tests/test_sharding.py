@@ -119,9 +119,11 @@ def test_render_scene_auto_shards():
 
 
 def test_sharded_with_pallas_dense_kernel(scenes_dir):
-    """All-triangle small scenes route the dense intersect through the
-    Pallas kernel (interpret mode here); it must compose with shard_map
-    (regression: vma checking rejected pallas_call outputs)."""
+    """All-triangle small scenes + shard_map(check_vma=True): on TPU the
+    compiled Pallas kernel declares output vma via out_shape; off-TPU
+    (here) interpret mode can't carry vma, so the tracer must fall back to
+    the XLA sweep instead of tripping the checker (jax 0.9 rejects even a
+    literal constant inside an interpreted kernel body under check_vma)."""
     from conftest import scene_path
     from raytracing_course_2024_tpu.ops.camera import camera_arrays
     from raytracing_course_2024_tpu.scene import build_scene_arrays, load_scene
@@ -141,3 +143,32 @@ def test_sharded_with_pallas_dense_kernel(scenes_dir):
     assert img.shape == (16, 32, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.05
+
+
+def test_nondivisible_height_geometry():
+    """Height that doesn't divide the tile count must NOT distort the
+    camera mapping (regression: the old path padded the height *into* the
+    NDC math, compressing the vertical FOV for e.g. 15 rows on 4 tiles)."""
+    desc, arrays, statics, cam, cfg = _setup()
+    w, h = 32, 15
+    mesh = make_mesh(4, 2)
+    img = np.asarray(
+        render_frame_sharded(
+            jax.random.PRNGKey(2), arrays, statics, cam, cfg, w, h, 16, mesh
+        )
+    )
+    assert img.shape == (h, w, 3)
+
+    # single-device reference of the same 15-row frame at high spp
+    lin = jnp.arange(w * h, dtype=jnp.int32)
+    ref = np.asarray(
+        render_pixels(
+            jax.random.PRNGKey(9), lin % w, lin // w, cam, arrays, statics,
+            cfg, w, h, 64,
+        )
+    ).reshape(h, w, 3)
+    # per-row means must line up (a squeezed FOV shifts scene features by
+    # a full row near the frame edges -- far beyond MC noise on row means)
+    row_img = img.mean(axis=(1, 2))
+    row_ref = ref.mean(axis=(1, 2))
+    assert np.abs(row_img - row_ref).max() < 0.15, (row_img, row_ref)
