@@ -230,13 +230,49 @@ def trace_paths(
     )
     rays = zeros
 
-    if cfg.ray_depth > 1:
+    # fused-bounce megakernel (ops/pallas_bounce.py): the whole bounce in
+    # one Pallas kernel for small all-triangle non-delta scenes (the
+    # headline family). Same estimator, TPU hardware-PRNG stream (like the
+    # sampler kernel). OPT-IN via RT_MEGAKERNEL=1 for now: the Mosaic
+    # compile of the fused body does not terminate on the remote-compile
+    # tunnel (>10 min, then the helper is OOM-killed) -- interpret-mode
+    # correctness is test-pinned, the compile blowup is a round-3 item
+    # (TODO.md).
+    import os as _os
 
-        def step(carry, i):
-            st, cnt = carry
-            cnt = cnt + st.alive.astype(jnp.float32)
-            st = _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg)
-            return (st, cnt), None
+    mega_env = _os.environ.get("RT_MEGAKERNEL")
+    use_mega = (
+        cfg.backend == "dense"
+        and not cfg.faithful
+        and cfg.sampler in ("auto", "pallas")
+        and mega_env == "1"
+    )
+    if use_mega:
+        from ..ops.pallas_bounce import megakernel_eligible
+
+        use_mega = megakernel_eligible(statics, scn)
+
+    if cfg.ray_depth > 1:
+        if use_mega:
+            from ..ops.pallas_bounce import bounce_pallas
+
+            def step(carry, i):
+                st, cnt = carry
+                cnt = cnt + st.alive.astype(jnp.float32)
+                ro2, rd2, thr, rad, alv = bounce_pallas(
+                    jax.random.fold_in(key, i), st.ro, st.rd, st.throughput,
+                    st.radiance, st.alive, scn, statics,
+                    cfg.bg_color, cfg.max_tries,
+                )
+                return (_PathState(ro2, rd2, thr, rad, alv), cnt), None
+
+        else:
+
+            def step(carry, i):
+                st, cnt = carry
+                cnt = cnt + st.alive.astype(jnp.float32)
+                st = _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg)
+                return (st, cnt), None
 
         (state, rays), _ = jax.lax.scan(
             step, (state, rays), jnp.arange(cfg.ray_depth - 1)

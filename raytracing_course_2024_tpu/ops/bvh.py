@@ -37,6 +37,7 @@ log = logging.getLogger("rt_tpu")
 LEAF_SIZE = 4
 NUM_BINS = 16
 AABB_EPS = 1e-4  # pad, reference src/aabb.rs:53-65 pads by EPS
+KD_CELL = 512  # disjoint kd cell size (duplication 1.28x on practice7_3)
 
 
 def _rot_mat(q: np.ndarray) -> np.ndarray:
@@ -213,14 +214,77 @@ def _reorder(a: np.ndarray, order: np.ndarray) -> np.ndarray:
     return np.asarray(a)[order]
 
 
+def build_kd_cells(
+    amin: np.ndarray,
+    amax: np.ndarray,
+    leaf_slots: int = 128,
+    max_depth: int = 32,
+):
+    """DISJOINT median-kd space partition with triangle duplication.
+
+    The SAH subtrees that ops/treelet.py cuts overlap heavily on organic
+    meshes (practice7_3: a bounce ray's segment crosses p90=24 treelet
+    AABBs), which defeats entry-distance pruning -- many treelets "enter"
+    before the ray's first hit. Disjoint cells fix that: a primitive is
+    assigned to EVERY cell its AABB touches (duplication instead of
+    overlap), so the cell regions tile space and a hit inside one cell
+    prunes every cell the ray enters later. Duplicate hits are benign:
+    both rows carry identical geometry/material, the min picks either.
+
+    Splits: median of AABB centers along the longest region axis (count-
+    balanced); leaf when <= leaf_slots members, the split stops separating
+    (every member crosses the plane), or max_depth.
+
+    Returns (member_lists: list of int arrays, regions: list of (lo, hi)).
+    """
+    n = amin.shape[0]
+    center = (amin + amax) * 0.5
+    pad = 1e-6
+    out_members, out_regions = [], []
+    root_lo = amin.min(axis=0) - pad
+    root_hi = amax.max(axis=0) + pad
+    stack = [(root_lo, root_hi, np.arange(n, dtype=np.int64), 0)]
+    while stack:
+        lo, hi, ids, depth = stack.pop()
+        if len(ids) <= leaf_slots or depth >= max_depth:
+            out_members.append(ids)
+            out_regions.append((lo, hi))
+            continue
+        ax = int(np.argmax(hi - lo))
+        mid = float(np.median(center[ids, ax]))
+        # keep the plane strictly inside the region
+        mid = min(max(mid, float(lo[ax]) + pad), float(hi[ax]) - pad)
+        left = ids[amin[ids, ax] <= mid]
+        right = ids[amax[ids, ax] >= mid]
+        if len(left) == len(ids) and len(right) == len(ids):
+            out_members.append(ids)  # everything straddles: stop splitting
+            out_regions.append((lo, hi))
+            continue
+        lhi = hi.copy()
+        lhi[ax] = mid
+        rlo = lo.copy()
+        rlo[ax] = mid
+        stack.append((lo, lhi, left, depth + 1))
+        stack.append((rlo, hi, right, depth + 1))
+    return out_members, out_regions
+
+
 def attach_bvh(scn: SceneArrays, statics: SceneStatics,
                max_slots: int | None = None) -> SceneArrays:
-    """Build the SAH BVH, cut it into treelets, and reorder+pad the finite
-    table into fixed 128-slot treelet blocks (ops/treelet.py explains the
-    TPU-first traversal this feeds). Lights are remapped to padded rows.
+    """Reorder+pad the finite table into fixed 128-slot treelet blocks and
+    attach the device traversal arrays (ops/treelet.py + ops/grouped.py).
 
-    Tries the native C++ builder first (same algorithm); falls back to numpy.
+    Two partitions:
+    * all-triangle scenes: DISJOINT kd cells with duplication
+      (``build_kd_cells``) -- entry-distance pruning then collapses the
+      bounce-ray straggler tail (module docstring of ops/grouped.py);
+      ``RT_PARTITION=sah`` forces the SAH cut for A/B comparison.
+    * mixed-shape scenes: SAH subtree treelets (contiguous permutation;
+      no duplication), built from the reference's SAH tree (binned here;
+      the native C++ builder is tried first, numpy is the fallback).
     """
+    import os
+
     from ..scene.build import build_packs
     from . import treelet as _tl
     from .treelet import TreeletArrays, _geom_cols, pad_to_slots, partition_treelets
@@ -230,28 +294,93 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics,
     amin, amax = primitive_aabbs(scn)
     n = amin.shape[0]
 
-    bvh = None
-    try:
-        from ..native import native_build_bvh
+    # Disjoint kd cells were tried as the default for all-triangle scenes
+    # and MEASURED WORSE on practice7_3 (grouped bounce rays 362 ms vs
+    # 104 ms, treelet 265 ms vs 59 ms): the within-cell chunks span the
+    # whole cell cross-section, so rays enter 2-3x more treelets than the
+    # surface-hugging SAH subtrees. Kept behind RT_PARTITION=kd for A/B.
+    use_kd = (not statics.any_nontri) and os.environ.get("RT_PARTITION") == "kd"
+    if use_kd:
+        # two levels: disjoint cells sized KD_CELL (duplication stays low),
+        # then spatially-compact center-median chunks of <= slots inside
+        # each cell (no duplication; a ray crossing the cell only enters
+        # the chunks along its path, not all of them)
+        members, regions = build_kd_cells(amin, amax, KD_CELL)
+        center = ((amin + amax) * 0.5)
 
-        bvh = native_build_bvh(amin, amax, LEAF_SIZE, NUM_BINS)
-    except Exception as e:  # noqa: BLE001 -- any native failure -> numpy path
-        log.debug("native BVH builder unavailable (%s); using numpy", e)
-    if bvh is None:
-        bvh = build_bvh(amin, amax)
+        def chunk_cell(ids):
+            if len(ids) <= slots:
+                return [ids]
+            lo = amin[ids].min(axis=0)
+            hi = amax[ids].max(axis=0)
+            ax = int(np.argmax(hi - lo))
+            order = np.argsort(center[ids, ax], kind="stable")
+            half = (len(ids) + 1) // 2
+            left, right = ids[order[:half]], ids[order[half:]]
+            return chunk_cell(left) + chunk_cell(right)
+        # each chunk's cull AABB = union of member AABBs clipped to the
+        # (disjoint) cell region
+        src_rows, tl_min_l, tl_max_l = [], [], []
+        for ids, (lo, hi) in zip(members, regions):
+            if len(ids) == 0:
+                continue
+            for chunk in chunk_cell(ids):
+                row = np.full(slots, -1, np.int64)
+                row[: len(chunk)] = chunk
+                src_rows.append(row)
+                tl_min_l.append(
+                    np.maximum(amin[chunk].min(axis=0), lo) - AABB_EPS
+                )
+                tl_max_l.append(
+                    np.minimum(amax[chunk].max(axis=0), hi) + AABB_EPS
+                )
+        src_row = np.concatenate(src_rows)  # (n_pad,), -1 = fill slot
+        n_pad = src_row.shape[0]
+        t = n_pad // slots
+        tl_min = np.asarray(tl_min_l)
+        tl_max = np.asarray(tl_max_l)
+        dup = n_pad / max(n, 1)
+        log.info("kd partition: %d cells/%d treelets, %.2fx slots", len(members), t, dup)
 
-    order = bvh.prim_order  # old row of the prim in sorted position i
-    ranges, tl_min, tl_max = partition_treelets(bvh, n, slots)
-    slot_of_sorted, n_pad = pad_to_slots(ranges, n, slots)
-    # old row -> padded slot
-    slot_of_old = np.empty(n, np.int64)
-    slot_of_old[order] = slot_of_sorted
+        safe = np.maximum(src_row, 0)
+        fill = src_row < 0
 
-    def place(a, fill=0.0):
-        a = np.asarray(a)
-        out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
-        out[slot_of_old] = a
-        return out
+        def place(a, fillv=0.0):
+            a = np.asarray(a)
+            out = a[safe].copy()
+            out[fill] = fillv
+            return out
+
+        # lights: first padded occurrence of each original emissive row
+        first_slot = np.full(n, n_pad, np.int64)
+        np.minimum.at(first_slot, safe[~fill], np.nonzero(~fill)[0])
+        light_idx = first_slot[np.asarray(scn.light_idx)].astype(np.int32)
+    else:
+        bvh = None
+        try:
+            from ..native import native_build_bvh
+
+            bvh = native_build_bvh(amin, amax, LEAF_SIZE, NUM_BINS)
+        except Exception as e:  # noqa: BLE001 -- any native failure -> numpy
+            log.debug("native BVH builder unavailable (%s); using numpy", e)
+        if bvh is None:
+            bvh = build_bvh(amin, amax)
+
+        order = bvh.prim_order  # old row of the prim in sorted position i
+        ranges, tl_min, tl_max = partition_treelets(bvh, n, slots)
+        slot_of_sorted, n_pad = pad_to_slots(ranges, n, slots)
+        t = len(ranges)
+        # old row -> padded slot
+        slot_of_old = np.empty(n, np.int64)
+        slot_of_old[order] = slot_of_sorted
+
+        def place(a, fillv=0.0):
+            a = np.asarray(a)
+            out = np.full((n_pad,) + a.shape[1:], fillv, a.dtype)
+            out[slot_of_old] = a
+            return out
+
+        light_idx = slot_of_old[np.asarray(scn.light_idx)].astype(np.int32)
 
     reordered = scn._replace(
         ptype=place(scn.ptype),  # fill rows: ptype=0 TRI with zero verts
@@ -269,20 +398,29 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics,
         emission=place(scn.emission),
         ior=place(scn.ior, 1.5),
         mkind=place(scn.mkind),
-        light_idx=slot_of_old[np.asarray(scn.light_idx)].astype(np.int32),
+        light_idx=light_idx,
         bvh=None,
     )
     reordered = build_packs(reordered)
 
     cols = _geom_cols(reordered, statics)
-    t = len(ranges)
     blocks = np.stack(
         [np.asarray(c, np.float32).reshape(t, slots) for c in cols]
     )  # (Cg, T, SLOTS)
     aabb = np.ascontiguousarray(
         np.concatenate([tl_min.T, tl_max.T]).astype(np.float32)
     )  # (6, T)
-    return reordered._replace(bvh=TreeletArrays(aabb=aabb, blocks=blocks))
+    grouped = None
+    if not statics.any_nontri:  # all-triangle: build the sorted-pair path
+        from .grouped import build_grouped
+
+        try:
+            grouped = build_grouped(aabb, blocks)
+        except ValueError as e:  # > key capacity: treelet wavefront fallback
+            log.warning("grouped traversal disabled: %s", e)
+    return reordered._replace(
+        bvh=TreeletArrays(aabb=aabb, blocks=blocks, grouped=grouped)
+    )
 
 
 def validate_bvh(host_bvh: _HostBvh, amin: np.ndarray, amax: np.ndarray) -> None:
@@ -319,8 +457,14 @@ def validate_bvh(host_bvh: _HostBvh, amin: np.ndarray, amax: np.ndarray) -> None
 
 
 def validate_treelets(scn: SceneArrays, statics: SceneStatics) -> None:
-    """Treelet invariants on the padded device arrays: every real primitive's
-    AABB is contained in its treelet's AABB; fill slots never intersect."""
+    """Treelet invariants on the padded device arrays.
+
+    SAH partition (permutation): every real primitive's AABB is contained
+    in its treelet's AABB and real slots == num_prims.
+    kd partition (duplication): every real slot's AABB *intersects* its
+    treelet's AABB (cell AABBs are clipped to the disjoint region, so a
+    boundary triangle legitimately sticks out) and real slots >= num_prims
+    with every light row real."""
     tl = scn.bvh
     aabb = np.asarray(tl.aabb, np.float64)  # (6, T)
     amin, amax = primitive_aabbs(scn)
@@ -332,11 +476,20 @@ def validate_treelets(scn: SceneArrays, statics: SceneStatics) -> None:
     extent = (amax - amin).max(axis=1)
     real = extent > 3e-4  # fill rows have extent == 2*AABB_EPS
     tol = 1e-4
+    n_real = int(real.sum())
+    duplicated = n_real > statics.num_prims
     for ti in range(t):
         rows = slice(ti * slots, (ti + 1) * slots)
         r = real[rows]
         if not r.any():
             continue
-        assert (amin[rows][r] >= aabb[:3, ti] - tol).all(), ti
-        assert (amax[rows][r] <= aabb[3:, ti] + tol).all(), ti
-    assert int(real.sum()) == statics.num_prims
+        if duplicated:
+            assert (amax[rows][r] >= aabb[:3, ti] - tol).all(), ti
+            assert (amin[rows][r] <= aabb[3:, ti] + tol).all(), ti
+        else:
+            assert (amin[rows][r] >= aabb[:3, ti] - tol).all(), ti
+            assert (amax[rows][r] <= aabb[3:, ti] + tol).all(), ti
+    assert n_real >= statics.num_prims
+    em = np.asarray(scn.emission)[np.asarray(scn.light_idx)]
+    if statics.num_lights:
+        assert (np.linalg.norm(em, axis=1) > 1e-5).all()

@@ -45,31 +45,29 @@ from .vec import Vec3, where3
 BLK = 8192
 
 
-def _kernel(statics: SceneStatics, k_tries: int, seed_ref, px, py, pz,
-            ngx, ngy, ngz, nsx, nsy, nsz, vx, vy, vz, rough, lp_ref,
-            lx_ref, ly_ref, lz_ref, pdf_ref, ok_ref):
-    # per-block stream: Knuth multiplier 2654435761 as i32 (wraps)
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+def make_unif(blk: int):
+    """Uniform [0,1) draw from the TPU hardware PRNG (seed separately)."""
 
     def unif():
         # rank>=2 required by the Mosaic PRNG lowering
-        bits = pltpu.prng_random_bits((8, BLK // 8))
+        bits = pltpu.prng_random_bits((8, blk // 8))
         # top 24 bits -> [0, 1) with 2^-24 resolution (logical shift keeps
         # this correct for either signedness)
         top = jax.lax.shift_right_logical(bits, jnp.array(8, bits.dtype))
         return (
             top.astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
-        ).reshape(BLK)
+        ).reshape(blk)
 
-    point = Vec3(px[:], py[:], pz[:])
-    n = Vec3(ngx[:], ngy[:], ngz[:])
-    ns = Vec3(nsx[:], nsy[:], nsz[:])
-    v = Vec3(vx[:], vy[:], vz[:])
-    roughness = rough[:]
-    lp = lp_ref[:, :] if statics.num_lights > 0 else None
+    return unif
+
+
+def mixture_body(unif, point, n, ns, v, roughness, lp, statics, k_tries):
+    """The whole MIS mixture-sampling stage as in-kernel math.
+
+    Shared by the standalone sampler kernel below and the fused-bounce
+    megakernel (ops/pallas_bounce.py). Returns (l, pdf, accepted)."""
     n_comp = 3 if statics.num_lights > 0 else 2
-
-    zero = px[:] * 0.0
+    zero = point.x * 0.0
     sel = Vec3(zero, zero, zero + 1.0)
     accepted = zero > 1.0  # all-False
 
@@ -93,11 +91,29 @@ def _kernel(statics: SceneStatics, k_tries: int, seed_ref, px, py, pz,
         pdf = pdf + pdf_lights_lp(point, sel, lp, statics)
     pdf = pdf / n_comp
     accepted = accepted & (pdf > _SAFE)
+    return sel, jnp.maximum(pdf, _SAFE), accepted
 
+
+def _kernel(statics: SceneStatics, k_tries: int, seed_ref, px, py, pz,
+            ngx, ngy, ngz, nsx, nsy, nsz, vx, vy, vz, rough, lp_ref,
+            lx_ref, ly_ref, lz_ref, pdf_ref, ok_ref):
+    # per-block stream: Knuth multiplier 2654435761 as i32 (wraps)
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+    unif = make_unif(BLK)
+
+    point = Vec3(px[:], py[:], pz[:])
+    n = Vec3(ngx[:], ngy[:], ngz[:])
+    ns = Vec3(nsx[:], nsy[:], nsz[:])
+    v = Vec3(vx[:], vy[:], vz[:])
+    lp = lp_ref[:, :] if statics.num_lights > 0 else None
+
+    sel, pdf, accepted = mixture_body(
+        unif, point, n, ns, v, rough[:], lp, statics, k_tries
+    )
     lx_ref[:] = sel.x
     ly_ref[:] = sel.y
     lz_ref[:] = sel.z
-    pdf_ref[:] = jnp.maximum(pdf, _SAFE)
+    pdf_ref[:] = pdf
     ok_ref[:] = accepted.astype(jnp.float32)
 
 

@@ -20,7 +20,9 @@ import numpy as np
 
 from .types import (
     BOX,
+    DIELECTRIC,
     ELLIPSOID,
+    MIRROR,
     TRI,
     LightCol,
     PlaneCol,
@@ -238,6 +240,11 @@ def build_scene_arrays(desc: SceneDesc, dtype=np.float32):
         light_types=tuple(int(ptype[i]) for i in light_ids),
         light_rotated=tuple(
             bool(np.abs(rotation[i] - ident).max() > 1e-7) for i in light_ids
+        ),
+        any_delta=bool(
+            np.isin(arrays.mkind, (MIRROR, DIELECTRIC)).any()
+            or (num_planes and np.isin(
+                arrays.pl_mkind[:num_planes], (MIRROR, DIELECTRIC)).any())
         ),
     )
     return build_packs(arrays), statics

@@ -247,3 +247,4 @@ class SceneStatics(NamedTuple):
     any_nontri: bool  # any box/ellipsoid in the finite table
     light_types: tuple = ()  # per real light: TRI / BOX / ELLIPSOID
     light_rotated: tuple = ()  # per real light: non-identity rotation?
+    any_delta: bool = False  # any MIRROR/DIELECTRIC material (incl. planes)

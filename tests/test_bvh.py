@@ -178,3 +178,55 @@ def test_bvh_big_scene(scenes_dir):
     assert dt < 120, f"BVH build too slow: {dt:.1f}s"
     treelets = np.asarray(arrays.bvh.aabb).shape[1]
     assert treelets > 500
+
+
+def test_grouped_matches_dense_soup(rng, monkeypatch):
+    """The sorted-pair grouped backend (RT_TRAVERSE=grouped) agrees with
+    the dense sweep, including the straggler tiers (rays crossing more
+    than K_MAIN treelets)."""
+    monkeypatch.setenv("RT_TRAVERSE", "grouped")
+    desc = _soup_desc(rng, n=2100)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    assert arrays.bvh.grouped is not None
+    arrays_j = jax.tree.map(jnp.asarray, arrays)
+    ro, rd = _rand_rays(rng, 4096)
+    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
+    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+    assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
+    both = np.asarray(hd.valid)
+    assert np.allclose(
+        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
+    )
+    # odd (non-multiple-of-128) batch takes the padding path
+    ro2 = Vec3(ro.x[:1000], ro.y[:1000], ro.z[:1000])
+    rd2 = Vec3(rd.x[:1000], rd.y[:1000], rd.z[:1000])
+    h2 = nearest_hit_bvh(ro2, rd2, arrays_j, statics)
+    assert np.allclose(
+        np.asarray(h2.t)[both[:1000]],
+        np.asarray(hd.t)[:1000][both[:1000]],
+        rtol=1e-5,
+    )
+
+
+def test_kd_partition_matches_dense(rng, monkeypatch):
+    """The disjoint kd-cell partition (RT_PARTITION=kd, with triangle
+    duplication) produces the same nearest hits on both backends."""
+    monkeypatch.setenv("RT_PARTITION", "kd")
+    desc = _soup_desc(rng, n=1500)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    validate_treelets(arrays, statics)
+    # duplication happened (some boundary triangle is in 2+ cells)
+    assert arrays.ptype.shape[0] >= 1500
+    arrays_j = jax.tree.map(jnp.asarray, arrays)
+    ro, rd = _rand_rays(rng, 2048)
+    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
+    for backend in ("treelet", "grouped"):
+        monkeypatch.setenv("RT_TRAVERSE", backend)
+        hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+        both = np.asarray(hd.valid)
+        assert np.array_equal(both, np.asarray(hb.valid)), backend
+        assert np.allclose(
+            np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
+        ), backend
