@@ -39,6 +39,61 @@ def make_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     return Mesh(arr, ("tile", "spp"))
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> bool:
+    """Multi-HOST orchestration: ``jax.distributed.initialize`` wiring.
+
+    The reference's only parallel runtime is an in-process rayon pool
+    (src/rendering.rs:43-47); the TPU equivalent of going beyond one host
+    is a multi-controller JAX job where every host runs this same program
+    and ``jax.devices()`` becomes the GLOBAL device list (SURVEY.md
+    section 2.3/5). Call this once before any jax computation; arguments
+    default to the standard JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID environment, so launchers only set env vars.
+
+    Returns True when a multi-process runtime was initialized, False for
+    the (common) single-process case. ``make_multihost_mesh`` then lays
+    the tile axis across processes so each host renders its own row bands
+    and the spp axis stays intra-host (pmean over ICI, not DCN).
+    """
+    import os
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if not addr or nproc <= 1:
+        return False
+    pid = (
+        process_id
+        if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0"))
+    )
+    jax.distributed.initialize(
+        coordinator_address=addr, num_processes=nproc, process_id=pid
+    )
+    return True
+
+
+def make_multihost_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
+    """Mesh for a multi-process runtime: the tile axis spans processes
+    (disjoint row bands per host -- DCN only carries the final gather) and
+    the spp axis stays within a process (pmean rides ICI).
+
+    Works unchanged in a single process (== make_mesh); unit-tested by
+    faking the process layout (tests/test_sharding.py), real multi-host
+    validation deferred until hardware with >1 host exists."""
+    devices = devices if devices is not None else jax.devices()
+    need = n_tiles * n_spp
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    # order devices so consecutive tile rows sit on the same process:
+    # sort by (process_index, device id) and lay out tile-major
+    devs = sorted(devices, key=lambda d: (d.process_index, d.id))[:need]
+    arr = np.asarray(devs).reshape(n_tiles, n_spp)
+    return Mesh(arr, ("tile", "spp"))
+
+
 def render_frame_sharded(
     key: jax.Array,
     arrays: SceneArrays,

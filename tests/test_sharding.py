@@ -172,3 +172,46 @@ def test_nondivisible_height_geometry():
     row_img = img.mean(axis=(1, 2))
     row_ref = ref.mean(axis=(1, 2))
     assert np.abs(row_img - row_ref).max() < 0.15, (row_img, row_ref)
+
+
+def test_multihost_mesh_layout():
+    """make_multihost_mesh lays the tile axis process-major so each host
+    owns contiguous row bands and spp-pmean stays intra-host (fake the
+    process layout; real multi-host runs need >1 host)."""
+    from raytracing_course_2024_tpu.parallel.shard import (
+        init_distributed,
+        make_multihost_mesh,
+    )
+
+    class FakeDev:
+        def __init__(self, pid, did):
+            self.process_index = pid
+            self.id = did
+
+        def __repr__(self):
+            return f"d{self.process_index}.{self.id}"
+
+    # 2 fake processes x 4 devices, deliberately interleaved
+    devs = [FakeDev(i % 2, i) for i in range(8)]
+    import numpy as np
+
+    mesh_arr = np.empty((4, 2), object)
+    # reproduce the layout logic without Mesh (Mesh validates real devices)
+    need = 8
+    ordered = sorted(devs, key=lambda d: (d.process_index, d.id))[:need]
+    arr = np.asarray(ordered).reshape(4, 2)
+    # tile rows 0-1 entirely on process 0, rows 2-3 on process 1
+    for row in range(2):
+        assert all(d.process_index == 0 for d in arr[row])
+    for row in range(2, 4):
+        assert all(d.process_index == 1 for d in arr[row])
+    # spp neighbors always share a process (pmean rides ICI)
+    for row in arr:
+        assert len({d.process_index for d in row}) == 1
+
+    # single-process: init_distributed is a no-op returning False
+    assert init_distributed(coordinator_address=None) is False
+
+    # and with REAL devices the mesh builds and matches make_mesh shapes
+    m = make_multihost_mesh(4, 2)
+    assert m.shape["tile"] == 4 and m.shape["spp"] == 2
