@@ -233,19 +233,18 @@ def trace_paths(
     # fused-bounce megakernel (ops/pallas_bounce.py): the whole bounce in
     # one Pallas kernel for small all-triangle non-delta scenes (the
     # headline family). Same estimator, TPU hardware-PRNG stream (like the
-    # sampler kernel). OPT-IN via RT_MEGAKERNEL=1 for now: the Mosaic
-    # compile of the fused body does not terminate on the remote-compile
-    # tunnel (>10 min, then the helper is OOM-killed) -- interpret-mode
-    # correctness is test-pinned, the compile blowup is a round-3 item
-    # (TODO.md).
+    # sampler kernel). OPT-IN via RT_MEGAKERNEL=1: it compiles (13 s) and
+    # measures +7% on the headline with image parity at the MC-noise
+    # scale, but repeated invocation intermittently faults the device
+    # (FAILED_PRECONDITION) on the axon tunnel -- not production-safe
+    # until root-caused (TODO.md).
     import os as _os
 
-    mega_env = _os.environ.get("RT_MEGAKERNEL")
     use_mega = (
         cfg.backend == "dense"
         and not cfg.faithful
         and cfg.sampler in ("auto", "pallas")
-        and mega_env == "1"
+        and _os.environ.get("RT_MEGAKERNEL") == "1"
     )
     if use_mega:
         from ..ops.pallas_bounce import megakernel_eligible

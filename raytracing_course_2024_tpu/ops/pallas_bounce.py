@@ -4,13 +4,14 @@ The headline scene (practice7_1: 36 triangles) spends its bounce across
 ~40 XLA fusions (intersect kernel, detail gathers, sampling kernel, pdf,
 brdf, state updates), each one an HBM round-trip of (B,) intermediates.
 This kernel runs the ENTIRE bounce body of the integrator
-(integrator/path.py:_bounce) per 2048-ray block inside VMEM:
+(integrator/path.py:_bounce) per 8192-ray block inside VMEM:
 
 1. dense Moller-Trumbore over the whole (small) triangle table, tracking
    the winner's (t, index, u, v) in registers;
-2. surface detail: the winner's shading normals + material ride ONE
-   one-hot MXU matmul ``(BLK, N) @ (N, C)`` instead of per-lane gathers
-   (K = N is a full MXU contraction: ~0.1 ms per 1M rays);
+2. surface detail: the winner's shading normals + material come from
+   statically-unrolled compare-select chains over the (C, N) attribute
+   table (a one-hot MXU dot_general was tried first and made the Mosaic
+   compile explode; N <= 128 keeps the chains cheap VPU work);
 3. emission / background accumulation into the radiance carry;
 4. the full MIS mixture sampling stage (shared body with
    ops/pallas_sampling; TPU hardware PRNG);
@@ -119,26 +120,27 @@ def _kernel(statics: SceneStatics, n_prims: int, k_tries: int, bg: tuple,
 
     hit = jnp.isfinite(best_t)
 
-    # --- 2. surface detail via ONE one-hot MXU matmul ----------------------
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLK, n_prims), 1)
-    onehot = (lanes == best_i[:, None]).astype(jnp.float32)
-    ga = jax.lax.dot_general(
-        onehot, attr[:, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BLK, C_ATTR)
+    # --- 2. surface detail: winner attributes via unrolled select chains ---
+    # (a one-hot (BLK, N) @ (N, C) dot_general was tried first; its tiny
+    # non-128-aligned contraction made the Mosaic compile explode. N is
+    # <= MAX_PRIMS=128 here, so per-attribute compare-select chains are
+    # cheap VPU work and the scalar table reads fold to immediates.)
+    def gather_row(row_ref, row):
+        out = row_ref[row, 0] + ox * 0.0
+        for i in range(1, n_prims):
+            out = jnp.where(best_i == i, row_ref[row, i], out)
+        return out
 
     def a3(base):
-        return Vec3(ga[:, base], ga[:, base + 1], ga[:, base + 2])
+        return Vec3(
+            gather_row(attr, base),
+            gather_row(attr, base + 1),
+            gather_row(attr, base + 2),
+        )
 
-    # flat normal from the winner's edges (same one-hot ride on tri rows)
-    ge = jax.lax.dot_general(
-        onehot, tri[3:9, :],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BLK, 6) = e1, e2
-    e1 = Vec3(ge[:, 0], ge[:, 1], ge[:, 2])
-    e2 = Vec3(ge[:, 3], ge[:, 4], ge[:, 5])
+    # flat normal from the winner's edges (same select-chain ride on tri)
+    e1 = Vec3(gather_row(tri, 3), gather_row(tri, 4), gather_row(tri, 5))
+    e2 = Vec3(gather_row(tri, 6), gather_row(tri, 7), gather_row(tri, 8))
     flat_n = e1.cross(e2).normalize()
     front = flat_n.dot(rd) < 0.0
     sign = jnp.where(front, 1.0, -1.0)
@@ -150,10 +152,10 @@ def _kernel(statics: SceneStatics, n_prims: int, k_tries: int, bg: tuple,
     t_safe = jnp.where(hit, best_t, 1.0)
     point = ro + rd * (t_safe - EPS_BACKOFF)
     color = a3(_COLOR)
-    metallic = ga[:, _METAL]
-    roughness = ga[:, _ROUGH]
+    metallic = gather_row(attr, _METAL)
+    roughness = gather_row(attr, _ROUGH)
     emission = a3(_EMIT)
-    mkind = ga[:, _MKIND].astype(jnp.int32)
+    mkind = gather_row(attr, _MKIND).astype(jnp.int32)
 
     # --- 3. emission / background ------------------------------------------
     bgv = Vec3(

@@ -84,8 +84,8 @@ def test_plumbing_interpret():
 
 @pytest.mark.skipif(
     not os.environ.get("RT_TEST_MEGAKERNEL"),
-    reason="needs a real TPU AND the Mosaic compile blowup fixed "
-    "(TODO.md); gate separately so RT_TEST_TPU runs don't hang",
+    reason="needs a real TPU; gated separately from RT_TEST_TPU while the "
+    "intermittent device fault under repeated invocation is unresolved",
 )
 def test_megakernel_matches_xla_image_tpu():
     """Full-render statistical parity: megakernel vs XLA bounce at 64 spp
@@ -118,7 +118,8 @@ def test_megakernel_matches_xla_image_tpu():
     mm, xm = mega.mean(axis=0), xla.mean(axis=0)
     rel = np.abs(mm - xm) / np.maximum(xm, 1e-9)
     assert (rel < 0.02).all(), (mm, xm)
-    # spatial agreement: 4x4 tile means within a few percent
+    # spatial agreement: tile means within the MC-noise scale (an
+    # XLA-vs-XLA control with different keys measures 0.092 at this spp)
     tm = mega.reshape(h // 18, 18, w // 20, 20, 3).mean(axis=(1, 3))
     tx = xla.reshape(h // 18, 18, w // 20, 20, 3).mean(axis=(1, 3))
-    assert np.abs(tm - tx).max() / max(xm.max(), 1e-9) < 0.1
+    assert np.abs(tm - tx).max() / max(xm.max(), 1e-9) < 0.15
