@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..scene.types import DIFFUSE, SceneArrays, SceneStatics
+from ..scene.types import SceneArrays, SceneStatics
 from .brdf import eval_brdf
 from .pallas_intersect import MAX_PRIMS, cast_to_vma, vma_union
 from .pallas_sampling import make_unif, mixture_body
