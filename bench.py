@@ -104,26 +104,37 @@ def bench_one(scene: str, width: int, height: int, spp: int,
         out, nrays = run(jax.random.fold_in(key, 1000 + w), jnp.int32(0))
         out.block_until_ready()
 
-    t0 = time.perf_counter()
-    total_rays = 0.0
+    # per-rep timing -> median + spread: run-to-run spread on the axon
+    # tunnel was measured ~4% (VERDICT r2 weak #8), so single-rep numbers
+    # make round-over-round deltas unattributable
+    rep_thr, rep_walls, rep_rays = [], [], []
     for rep in range(reps):
+        t0 = time.perf_counter()
+        rays = 0.0
         for i in range(num_batches):
             out, nrays = run(
                 jax.random.fold_in(key, rep * num_batches + i),
                 jnp.int32(i * batch),
             )
-            total_rays += float(nrays)
-    dt = (time.perf_counter() - t0) / reps
-    total_rays /= reps
+            rays += float(nrays)  # float() syncs
+        dt = time.perf_counter() - t0
+        rep_thr.append(rays / dt / 1e6)
+        rep_walls.append(dt)
+        rep_rays.append(rays)
+    order = sorted(range(reps), key=lambda r: rep_thr[r])
+    mid = order[reps // 2]
 
     res = {
         "scene": os.path.basename(scene),
         "size": f"{width}x{height}",
         "backend": backend,
         "measure_spp": spp,
-        "mrays": total_rays / dt / 1e6,
-        "wall_at_measure_spp": dt,
-        "path_vertices": total_rays,
+        "mrays": rep_thr[mid],
+        "mrays_min": min(rep_thr),
+        "mrays_max": max(rep_thr),
+        "reps": reps,
+        "wall_at_measure_spp": rep_walls[mid],
+        "path_vertices": rep_rays[mid],
     }
 
     if full_spp is not None and full_spp != spp:
@@ -180,8 +191,10 @@ def _emit(res, contract_spp):
         f"# {res['scene']} {res['size']} @ {res['measure_spp']} spp "
         f"({res['backend']}): {res['wall_at_measure_spp']:.2f}s, "
         f"{res['path_vertices']/1e6:.1f} M path-vertices, "
-        f"{res['mrays']:.1f} Mrays/s; implied {contract_spp}-spp frame: "
-        f"{scaled:.1f}s{extra}",
+        f"{res['mrays']:.1f} Mrays/s (median of {res.get('reps', 1)}, "
+        f"min {res.get('mrays_min', res['mrays']):.1f} / max "
+        f"{res.get('mrays_max', res['mrays']):.1f}); implied "
+        f"{contract_spp}-spp frame: {scaled:.1f}s{extra}",
         file=sys.stderr,
     )
     return line

@@ -245,6 +245,11 @@ def trace_paths(
         and not cfg.faithful
         and cfg.sampler in ("auto", "pallas")
         and _os.environ.get("RT_MEGAKERNEL") == "1"
+        # off-TPU the kernel would run in interpret mode, whose hardware-PRNG
+        # stand-in is degenerate -> statistically wrong renders (the sampler
+        # path's 'auto' falls back to XLA for the same reason). Interpret
+        # mode stays reachable for tests via bounce_pallas directly.
+        and jax.default_backend() == "tpu"
     )
     if use_mega:
         from ..ops.pallas_bounce import megakernel_eligible

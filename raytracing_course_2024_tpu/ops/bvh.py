@@ -489,7 +489,12 @@ def validate_treelets(scn: SceneArrays, statics: SceneStatics) -> None:
         else:
             assert (amin[rows][r] >= aabb[:3, ti] - tol).all(), ti
             assert (amax[rows][r] <= aabb[3:, ti] + tol).all(), ti
-    assert n_real >= statics.num_prims
+    if duplicated:
+        assert n_real >= statics.num_prims
+    else:
+        # the SAH cut is a pure permutation: spurious duplicate/extra real
+        # rows must fail, not pass under the kd partition's >= relaxation
+        assert n_real == statics.num_prims, (n_real, statics.num_prims)
     em = np.asarray(scn.emission)[np.asarray(scn.light_idx)]
     if statics.num_lights:
         assert (np.linalg.norm(em, axis=1) > 1e-5).all()

@@ -243,10 +243,13 @@ def nearest_hit_treelet(
 
     next_key, active_of, round_body = make_round(keys, ro, rd)
 
+    # init derived from traced inputs so carries keep a consistent
+    # device-varying type under shard_map (jax >= 0.9 vma rules)
+    zeros = ro.x * 0.0
     init = (
-        next_key(jnp.full((b,), -1, jnp.int32)),
-        jnp.full((b,), INF),
-        jnp.zeros((b,), jnp.int32),
+        next_key(zeros.astype(jnp.int32) - 1),
+        zeros + INF,
+        zeros.astype(jnp.int32),
     )
 
     # --- phase 1: up to R0 full-batch rounds (covers ~p95 of rays) ---

@@ -91,6 +91,17 @@ def make_multihost_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     # sort by (process_index, device id) and lay out tile-major
     devs = sorted(devices, key=lambda d: (d.process_index, d.id))[:need]
     arr = np.asarray(devs).reshape(n_tiles, n_spp)
+    # the intra-host guarantee is load-bearing: if n_spp does not divide the
+    # per-process device count, a tile row spans two processes and the spp
+    # pmean would ride DCN -- fail loudly instead of silently degrading
+    for r in range(n_tiles):
+        procs = {d.process_index for d in arr[r]}
+        if len(procs) > 1:
+            raise ValueError(
+                f"tile row {r} spans processes {sorted(procs)}: n_spp={n_spp} "
+                "must divide each process's device count so spp-pmean stays "
+                "intra-host (ICI); pick n_spp | devices-per-process"
+            )
     return Mesh(arr, ("tile", "spp"))
 
 
