@@ -102,6 +102,75 @@ def _collect_hit(state: _PathState, scn, statics, cfg):
     return state._replace(radiance=radiance, alive=on_hit), surf, hit
 
 
+def _finish_bounce(
+    state: _PathState,
+    surf,
+    l_s: Vec3,
+    pdf: jnp.ndarray,
+    ok: jnp.ndarray,
+    u_diel: jnp.ndarray,
+    cfg: TraceConfig,
+) -> _PathState:
+    """Post-sampling half of a bounce: BRDF weight, delta-material
+    continuation rules, state update. Shared by the batch scan (``_bounce``)
+    and the regeneration wavefront (integrator/wavefront.py); ``u_diel`` is
+    the dielectric reflect/refract split draw."""
+    alive = state.alive
+    v = -state.rd  # rays are kept unit-length
+    n = surf.n_geom
+    is_mirror = surf.mkind == MIRROR
+    is_diel = surf.mkind == DIELECTRIC
+    is_delta = is_mirror | is_diel
+
+    f = eval_brdf(l_s, n, v, surf.color, surf.metallic, surf.roughness, surf.mkind)
+    # the reference's cos term is SIGNED l.n_geom (rendering.rs:122): below
+    # the horizon the specular lobe is 0 (chi+ in G1) and the diffuse lobe
+    # contributes negatively. The fast sampler never accepts such l, so the
+    # clamp only guards its kill-path zeros; faithful mode keeps the sign.
+    cos_l = l_s.dot(n) if cfg.faithful else jnp.maximum(l_s.dot(n), 0.0)
+    inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
+    w_sampled = f * (cos_l * inv_pdf)
+
+    # --- mirror ---
+    l_mirror = reflect(v, n)
+    w_mirror = surf.color
+
+    # --- dielectric ---
+    cos_i = jnp.clip(v.dot(n), 0.0, 1.0)
+    eta = jnp.where(surf.is_outer, 1.0 / surf.ior, surf.ior)
+    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+    tir = sin2_t > 1.0
+    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    r0 = jnp.square((eta - 1.0) / (eta + 1.0))
+    refl_p = r0 + (1.0 - r0) * jnp.power(1.0 - cos_i, 5.0)
+    do_reflect = tir | (u_diel < refl_p)
+    l_refr = (state.rd * eta + n * (eta * cos_i - cos_t)).normalize(eps=1e-20)
+    l_diel = where3(do_reflect, l_mirror, l_refr)
+    one = Vec3.full(1.0, like=surf.color)
+    w_diel = where3(do_reflect | ~surf.is_outer, one, surf.color)
+
+    next_dir = where3(is_mirror, l_mirror, where3(is_diel, l_diel, l_s))
+    weight = where3(is_mirror, w_mirror, where3(is_diel, w_diel, w_sampled))
+
+    # Scattered/reflected rays restart from the EPS-backed-off point on the
+    # incoming side (src/rendering.rs:98); *transmitted* rays must instead
+    # continue from just past the surface or they re-hit it immediately.
+    transmitted = is_diel & ~do_reflect
+    point_back = state.ro + state.rd * (surf.t + 1e-4)
+    next_origin = where3(transmitted, point_back, surf.point)
+
+    new_alive = alive & (is_delta | ok)
+    zero = Vec3.full(0.0, like=weight)
+    throughput = state.throughput.mul(where3(new_alive, weight, zero))
+    return _PathState(
+        ro=next_origin,
+        rd=next_dir,
+        throughput=throughput,
+        radiance=state.radiance,
+        alive=new_alive,
+    )
+
+
 def _bounce(
     state: _PathState,
     key: jax.Array,
@@ -152,56 +221,10 @@ def _bounce(
         max_tries=cfg.max_tries,
         **kw,
     )
-    f = eval_brdf(l_s, n, v, surf.color, surf.metallic, surf.roughness, surf.mkind)
-    # the reference's cos term is SIGNED l.n_geom (rendering.rs:122): below
-    # the horizon the specular lobe is 0 (chi+ in G1) and the diffuse lobe
-    # contributes negatively. The fast sampler never accepts such l, so the
-    # clamp only guards its kill-path zeros; faithful mode keeps the sign.
-    cos_l = l_s.dot(n) if cfg.faithful else jnp.maximum(l_s.dot(n), 0.0)
-    inv_pdf = 1.0 / jnp.maximum(pdf, 1e-20)
-    w_sampled = f * (cos_l * inv_pdf)
-
-    # --- mirror ---
-    l_mirror = reflect(v, n)
-    w_mirror = surf.color
-
-    # --- dielectric ---
-    cos_i = jnp.clip(v.dot(n), 0.0, 1.0)
-    eta = jnp.where(surf.is_outer, 1.0 / surf.ior, surf.ior)
-    sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
-    tir = sin2_t > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
-    r0 = jnp.square((eta - 1.0) / (eta + 1.0))
-    refl_p = r0 + (1.0 - r0) * jnp.power(1.0 - cos_i, 5.0)
     from ..ops.sampling import uniform_rows
 
-    u = uniform_rows(k_diel, 1, cos_i.shape[0])[0]
-    do_reflect = tir | (u < refl_p)
-    l_refr = (state.rd * eta + n * (eta * cos_i - cos_t)).normalize(eps=1e-20)
-    l_diel = where3(do_reflect, l_mirror, l_refr)
-    one = Vec3.full(1.0, like=surf.color)
-    w_diel = where3(do_reflect | ~surf.is_outer, one, surf.color)
-
-    next_dir = where3(is_mirror, l_mirror, where3(is_diel, l_diel, l_s))
-    weight = where3(is_mirror, w_mirror, where3(is_diel, w_diel, w_sampled))
-
-    # Scattered/reflected rays restart from the EPS-backed-off point on the
-    # incoming side (src/rendering.rs:98); *transmitted* rays must instead
-    # continue from just past the surface or they re-hit it immediately.
-    transmitted = is_diel & ~do_reflect
-    point_back = state.ro + state.rd * (surf.t + 1e-4)
-    next_origin = where3(transmitted, point_back, surf.point)
-
-    new_alive = alive & (is_delta | ok)
-    zero = Vec3.full(0.0, like=weight)
-    throughput = state.throughput.mul(where3(new_alive, weight, zero))
-    return _PathState(
-        ro=next_origin,
-        rd=next_dir,
-        throughput=throughput,
-        radiance=state.radiance,
-        alive=new_alive,
-    )
+    u_diel = uniform_rows(k_diel, 1, state.ro.x.shape[0])[0]
+    return _finish_bounce(state, surf, l_s, pdf, ok, u_diel, cfg)
 
 
 def trace_paths(

@@ -58,8 +58,22 @@ def generate_rays(
 
     b = px.shape[0]
     u = uniform_rows(key, 2, b)
-    real_x = px.astype(jnp.float32) + u[0]
-    real_y = py.astype(jnp.float32) + u[1]
+    return generate_rays_u(cam, px, py, width, height, u[0], u[1])
+
+
+def generate_rays_u(
+    cam: CameraArrays,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    width: int,
+    height: int,
+    u0: jnp.ndarray,
+    u1: jnp.ndarray,
+):
+    """``generate_rays`` with caller-supplied jitter draws (the wavefront
+    engine keys its jitter by work item, not by lane -- ops/rng.py)."""
+    real_x = px.astype(jnp.float32) + u0
+    real_y = py.astype(jnp.float32) + u1
     sx = (2.0 * real_x / width - 1.0) * cam.tan_half_fov_x
     sy = -(2.0 * real_y / height - 1.0) * cam.tan_half_fov_y
 

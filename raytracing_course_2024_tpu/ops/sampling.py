@@ -490,6 +490,7 @@ def sample_mixture(
     need: jnp.ndarray,
     max_tries: int = 4,
     faithful: bool = False,
+    uniforms: list | None = None,
 ):
     """Returns (l Vec3, pdf (B,), ok (B,)).
 
@@ -538,7 +539,9 @@ def sample_mixture(
     # uniforms this bounce needs. The component samplers are mutually
     # exclusive per candidate (one `which` each), so they can safely share
     # uniform rows: 7 rows instead of 11. ---
-    u = uniform_rows(key, 7, k * b)
+    # ``uniforms`` (7 rows of (K*B,), candidate-major like the reshape
+    # below) lets the wavefront engine key draws by work item (ops/rng.py)
+    u = uniforms if uniforms is not None else uniform_rows(key, 7, k * b)
     which = jnp.minimum((u[0] * n_comp).astype(jnp.int32), n_comp - 1)
     cand = sample_cosine_u(u[1], u[2], n_t)
     cand = where3(which == 1, sample_vndf_u(u[1], u[2], n_t, v_t, rough_t), cand)

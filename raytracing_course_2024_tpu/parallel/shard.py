@@ -105,6 +105,9 @@ def make_multihost_mesh(n_tiles: int, n_spp: int, devices=None) -> Mesh:
     return Mesh(arr, ("tile", "spp"))
 
 
+WAVEFRONT_LANE_CAP = 262_144  # matches runtime.render.BVH_BATCH
+
+
 def render_frame_sharded(
     key: jax.Array,
     arrays: SceneArrays,
@@ -115,6 +118,7 @@ def render_frame_sharded(
     height: int,
     samples: int,
     mesh: Mesh,
+    engine: str = "batch",
 ) -> jnp.ndarray:
     """Full-frame mean radiance (height, width, 3), computed SPMD.
 
@@ -122,12 +126,52 @@ def render_frame_sharded(
     multiple of n_tiles for the iteration only, each padded row re-renders
     the last real row (py clamped -- the camera NDC mapping always sees the
     TRUE image height), and the pad is cropped before returning.
+
+    ``engine="wavefront"`` runs the regeneration wavefront
+    (integrator/wavefront.py) per shard. Its RNG is keyed by GLOBAL
+    (pixel, sample), so the sharded frame equals the single-device frame
+    up to fp accumulation order regardless of the mesh factoring.
     """
     n_tiles = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     assert samples % n_spp == 0, (samples, n_spp)
     rows_per = -(-height // n_tiles)  # ceil: pad rows, never the camera
     spp_per = samples // n_spp
+
+    if engine == "wavefront":
+        from ..integrator.wavefront import render_wavefront
+
+        n_pix = rows_per * width
+        lanes = min(WAVEFRONT_LANE_CAP, n_pix * spp_per)
+
+        def shard_fn_wf(key):
+            ti = jax.lax.axis_index("tile")
+            si = jax.lax.axis_index("spp")
+            # both offsets varying over BOTH mesh axes so every while-loop
+            # carry in the engine has one consistent varying type
+            pix_base = jax.lax.pcast(ti * n_pix, ("spp",), to="varying")
+            samp_base = jax.lax.pcast(si * spp_per, ("tile",), to="varying")
+            kd = jax.random.key_data(key).astype(jnp.uint32)
+            seed32 = jax.lax.pcast(
+                kd[0] ^ (kd[1] * jnp.uint32(2654435761)),
+                ("tile", "spp"),
+                to="varying",
+            )
+            img, _ = render_wavefront(
+                seed32, pix_base, samp_base, cam, arrays, statics, cfg,
+                width, height, n_pix, spp_per, lanes,
+            )
+            img = jax.lax.pmean(img, axis_name="spp")
+            return img.reshape(rows_per, width, 3)
+
+        fn = jax.shard_map(
+            shard_fn_wf,
+            mesh=mesh,
+            in_specs=P(),
+            out_specs=P("tile", None, None),
+            check_vma=True,
+        )
+        return fn(key)[:height]
 
     def shard_fn(key):
         ti = jax.lax.axis_index("tile")

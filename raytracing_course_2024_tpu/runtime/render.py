@@ -41,7 +41,10 @@ class Renderer:
         batch_size: int = DEFAULT_BATCH,
         max_tries: int = 4,
         faithful: bool = False,
+        engine: str | None = None,
     ):
+        import os
+
         self.desc = desc
         self.settings = desc.settings
         arrays, statics = build_scene_arrays(desc)
@@ -57,6 +60,16 @@ class Renderer:
         if backend == "bvh" and batch_size == DEFAULT_BATCH:
             batch_size = BVH_BATCH
         self.batch_size = batch_size
+        # engine: "batch" = fixed lane batches through the depth scan;
+        # "wavefront" = persistent lanes with path regeneration
+        # (integrator/wavefront.py) -- the default for the BVH backend,
+        # where traversal cost is batch-shaped and dead lanes are pure
+        # waste. RT_ENGINE overrides for A/B.
+        engine = engine or os.environ.get("RT_ENGINE")
+        if engine is None:
+            engine = "wavefront" if backend == "bvh" else "batch"
+        assert engine in ("batch", "wavefront"), engine
+        self.engine = engine
         self.cam = camera_arrays(self.settings.camera)
         self.cfg = TraceConfig(
             ray_depth=self.settings.ray_depth,
@@ -108,6 +121,19 @@ class Renderer:
             static_argnames=("samples", "batch", "replicas", "with_stats"),
         )
 
+        def _render_wf(seed32, arrays, samples: int, n_pix: int, lanes: int):
+            from ..integrator.wavefront import render_wavefront
+
+            return render_wavefront(
+                seed32, jnp.int32(0), jnp.int32(0), self.cam, arrays,
+                self.statics, self.cfg, self.settings.width,
+                self.settings.height, n_pix, samples, lanes,
+            )
+
+        self._render_wf = jax.jit(
+            _render_wf, static_argnames=("samples", "n_pix", "lanes")
+        )
+
     def _plan(self, total: int, samples: int):
         """Pick (batch, replicas): fill ~batch_size lanes, replicas | samples."""
         b = min(self.batch_size, total)
@@ -139,6 +165,30 @@ class Renderer:
         w, h = self.settings.width, self.settings.height
         samples = samples or self.settings.samples
         total = w * h
+
+        if self.engine == "wavefront":
+            seed32 = jnp.uint32((seed * 2654435761) & 0xFFFFFFFF)
+            lanes = min(self.batch_size, total * samples)
+            t0 = time.perf_counter()
+            img_flat, nverts = self._render_wf(
+                seed32, self.arrays, samples, total, lanes
+            )
+            img = np.asarray(img_flat).reshape(h, w, 3)
+            if with_stats:
+                from .profiling import RenderStats
+
+                stats = RenderStats(
+                    width=w,
+                    height=h,
+                    samples=samples,
+                    ray_depth=self.settings.ray_depth,
+                    wall_seconds=time.perf_counter() - t0,
+                    path_vertices=float(nverts),
+                    primary_rays=total * samples,
+                )
+                return img, stats
+            return img
+
         b, replicas = self._plan(total, samples)
         num_batches = -(-total // b)
         key = jax.random.PRNGKey(seed)
@@ -215,6 +265,7 @@ def _render_scene_sharded(
     backend: str | None = None,
     max_tries: int = 4,
     batch_size: int | None = None,
+    engine: str | None = None,
 ) -> np.ndarray:
     """Multi-chip frame render: rows over 'tile', samples over 'spp'.
 
@@ -235,6 +286,8 @@ def _render_scene_sharded(
             "batch_size is single-device-only; the sharded renderer runs one "
             "program per tile"
         )
+    import os
+
     ndev = jax.device_count()
     s = desc.settings
     n_spp = 2 if ndev % 2 == 0 and s.samples % 2 == 0 else 1
@@ -244,6 +297,9 @@ def _render_scene_sharded(
     arrays, statics = build_scene_arrays(desc)
     if backend is None:
         backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
+    engine = engine or os.environ.get("RT_ENGINE")
+    if engine is None:
+        engine = "wavefront" if backend == "bvh" else "batch"
     if backend == "bvh":
         from ..ops.bvh import attach_bvh
 
@@ -258,7 +314,7 @@ def _render_scene_sharded(
     t0 = time.perf_counter()
     rad = render_frame_sharded(
         jax.random.PRNGKey(seed), arrays, statics, cam, cfg,
-        s.width, s.height, s.samples, mesh,
+        s.width, s.height, s.samples, mesh, engine=engine,
     )
     img = np.asarray(color_to_u8(rad))
     log.info(

@@ -80,9 +80,18 @@ def test_backend_agreement(scenes_dir):
     """Dense and treelet backends must agree within MC noise on the same
     scene (different estimators would indicate a traversal bug)."""
     desc = load_scene(scene_path("practice7_1.gltf"), 48, 27, 32)
+    # identical sampling order + identical hit results => identical images;
+    # engine pinned to "batch" because the wavefront engine keys its RNG by
+    # work item (a different stream); its own backend-agreement test lives
+    # in test_wavefront.py
     dense = Renderer(desc, backend="dense").render_radiance(seed=0)
-    bvh = Renderer(desc, backend="bvh").render_radiance(seed=0)
-    # identical sampling order + identical hit results => identical images
+    bvh = Renderer(desc, backend="bvh", engine="batch").render_radiance(seed=0)
     assert np.allclose(dense, bvh, rtol=1e-3, atol=1e-3), (
         np.abs(dense - bvh).max()
+    )
+    # same pairing through the wavefront engine (shared stream there too)
+    wf_dense = Renderer(desc, backend="dense", engine="wavefront").render_radiance(seed=0)
+    wf_bvh = Renderer(desc, backend="bvh", engine="wavefront").render_radiance(seed=0)
+    assert np.allclose(wf_dense, wf_bvh, rtol=1e-3, atol=1e-3), (
+        np.abs(wf_dense - wf_bvh).max()
     )

@@ -215,3 +215,29 @@ def test_multihost_mesh_layout():
     # and with REAL devices the mesh builds and matches make_mesh shapes
     m = make_multihost_mesh(4, 2)
     assert m.shape["tile"] == 4 and m.shape["spp"] == 2
+
+
+def test_wavefront_sharded_mesh_invariance():
+    """The wavefront engine's RNG is keyed by GLOBAL (pixel, sample), so
+    per-sample estimates are independent of the mesh factoring: an 8x1
+    tile mesh and a 4x2 tile-by-spp mesh must produce the same frame up to
+    fp accumulation order."""
+    desc, arrays, statics, cam, cfg = _setup()
+    s = desc.settings
+    img_a = np.asarray(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            s.width, s.height, 8, make_mesh(8, 1), engine="wavefront",
+        )
+    )
+    img_b = np.asarray(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            s.width, s.height, 8, make_mesh(4, 2), engine="wavefront",
+        )
+    )
+    assert img_a.shape == (s.height, s.width, 3)
+    assert np.isfinite(img_a).all()
+    assert np.allclose(img_a, img_b, rtol=1e-4, atol=1e-5), np.abs(
+        img_a - img_b
+    ).max()
