@@ -78,7 +78,18 @@ from .scene_intersect import SceneHit, _fold_in_planes
 from .vec import Vec3
 
 BLOCK = 128  # pairs per single-treelet block (= one geometry fetch)
-K_MAIN = 3  # treelet visits handled by the grouped main pass per ray
+# treelet visits handled by the grouped main pass per ray. Leftover visits
+# go to the (expensive, compacted) straggler finish; on incoherent bounce
+# rays mean visits are 5-8, so with the MXU block test making over-testing
+# cheap a LARGER K that starves the straggler path wins -- RT_K tunes it
+# (read at trace time; one compile per setting).
+K_MAIN = 3
+
+
+def _k_main() -> int:
+    import os
+
+    return int(os.environ.get("RT_K", str(K_MAIN)))
 STRAGGLER_DIV = 8  # straggler compaction cap = B // STRAGGLER_DIV
 KEY_MISS = jnp.int32(2**31 - 1)
 
@@ -94,10 +105,16 @@ class GroupedArrays(NamedTuple):
     geom_rows: "jnp.ndarray"  # (Tp, 9 * SLOTS) f32: per-treelet packed
     # triangle planes [p0x|p0y|p0z|p1x|...|p2z], each (SLOTS,); ONE row
     # gather per block. Tp = 32 * W (padding rows are zero => never hit).
+    geom_w: "jnp.ndarray" = None  # (Tp*16, 4*SLOTS) f32 centroid-local MT
+    # coefficient tiles (ops/mt_pack.py) for the Pallas MXU block test;
+    # cols component-major [det | udet | vdet | tdet], each (SLOTS,).
+    cen: "jnp.ndarray" = None  # (Tp, 128) f32, treelet centroid in cols 0-2
 
 
 def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
     """From ops.treelet/bvh arrays: aabb (6, T) + blocks (9, T, SLOTS)."""
+    from .mt_pack import mt_w_matrices
+
     t = tl_aabb.shape[1]
     slots = blocks.shape[2]
     tp = 32 * (-(-t // 32))
@@ -112,7 +129,26 @@ def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
     aabb[:, :t] = np.asarray(tl_aabb, np.float32)
     geom = np.zeros((tp, 9 * slots), np.float32)
     geom[:t] = np.asarray(blocks, np.float32).transpose(1, 0, 2).reshape(t, 9 * slots)
-    return GroupedArrays(aabb=np.ascontiguousarray(aabb), geom_rows=geom)
+
+    # MXU tiles: per-treelet (16, 4*SLOTS) MT coefficients in the treelet's
+    # AABB-center frame (precision: mt_pack.py docstring). Fill slots are
+    # zero triangles -> efter centroid shift all three verts coincide ->
+    # det == 0 -> never valid.
+    c = (np.asarray(tl_aabb[:3], np.float64) + np.asarray(tl_aabb[3:], np.float64)) * 0.5  # (3, T)
+    bl = np.asarray(blocks, np.float64)  # (9, T, S)
+    verts = []
+    for k in range(3):
+        v = bl[3 * k : 3 * k + 3] - c[:, :, None]  # (3, T, S) local
+        verts.append(np.moveaxis(v, 0, -1).reshape(t * slots, 3))
+    w = mt_w_matrices(*verts)  # (T*S, 16, 4) f32
+    w = w.reshape(t, slots, 16, 4).transpose(0, 2, 3, 1).reshape(t * 16, 4 * slots)
+    geom_w = np.zeros((tp * 16, 4 * slots), np.float32)
+    geom_w[: t * 16] = w
+    cen = np.zeros((tp, 128), np.float32)
+    cen[:t, 0:3] = c.T
+    return GroupedArrays(
+        aabb=np.ascontiguousarray(aabb), geom_rows=geom, geom_w=geom_w, cen=cen
+    )
 
 
 def _tid_bits(tp: int) -> int:
@@ -378,7 +414,7 @@ def nearest_hit_grouped(
 ) -> SceneHit:
     """Nearest hit over the treelet-partitioned triangle table (module doc)."""
     b_in = ro.x.shape[0]
-    lane_mult = BLOCK // np.gcd(K_MAIN, BLOCK)
+    lane_mult = BLOCK // np.gcd(_k_main(), BLOCK)
     pad = (-b_in) % lane_mult  # K*B must be a BLOCK multiple
     if pad:
 
@@ -402,7 +438,7 @@ def nearest_hit_grouped(
     bits = _tid_bits(tp)
     tid_mask = jnp.int32((1 << bits) - 1)
     b = b_in
-    k = K_MAIN
+    k = _k_main()
     sentinel_key = jnp.int32(tp + 1)  # sort-#1 key after every real tid
 
     # 1. cull
@@ -485,11 +521,30 @@ def nearest_hit_grouped(
     s_key, s_ray = sorted_cols[0], sorted_cols[1]
     s_comps = sorted_cols[2:]
 
-    # 6. block test (every block holds one treelet id by construction)
+    # 6. block test (every block holds one treelet id by construction):
+    # Pallas MXU kernel on real TPU (scalar-prefetch geometry DMA + one
+    # dot_general per block -- ops/pallas_grouped.py), XLA VPU sweep
+    # otherwise
+    import os as _os2
+
     nb = s_key.shape[0] // BLOCK
     block_tid = s_key.reshape(nb, BLOCK)[:, 0]
     prx = [c.reshape(nb, BLOCK) for c in s_comps]
-    t_pair, slot_pair = _block_mt(ga.geom_rows, block_tid, prx, slots, tmin)
+    use_pallas_test = (
+        jax.default_backend() == "tpu"
+        and not _os2.environ.get("RT_NO_PALLAS")
+        and ga.geom_w is not None
+        and isinstance(tmin, (int, float))
+    )
+    if use_pallas_test:
+        from .pallas_grouped import block_mt_pallas
+
+        t_pair, slot_pair = block_mt_pallas(
+            block_tid, tuple(prx), ga.geom_w, ga.cen, slots, tp, float(tmin),
+            precision=_os2.environ.get("RT_MT_PRECISION", "highest"),
+        )
+    else:
+        t_pair, slot_pair = _block_mt(ga.geom_rows, block_tid, prx, slots, tmin)
     real = (block_tid < tp)[:, None] & (s_ray.reshape(nb, BLOCK) < b)
     t_pair = jnp.where(real, t_pair, INF)
     idx_pair = jnp.clip(block_tid, 0, tp - 1)[:, None] * slots + slot_pair

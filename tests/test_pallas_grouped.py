@@ -1,0 +1,71 @@
+"""Pallas MXU block-test kernel (ops/pallas_grouped.py) vs the XLA sweep.
+
+Runs the kernel in interpret mode on CPU against ``_block_mt`` on a
+fabricated treelet set (random triangles + zero fill slots + a sentinel
+block); the real-TPU compiled path is covered by the grouped agreement
+tests when RT_TRAVERSE=grouped runs on hardware.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytracing_course_2024_tpu.ops.grouped import _block_mt, build_grouped
+from raytracing_course_2024_tpu.ops.pallas_grouped import BLOCK, block_mt_pallas
+
+
+def _fabricate(rng, t=3, slots=32):
+    """(aabb (6,t), blocks (9,t,slots)) with some zero fill slots."""
+    blocks = np.zeros((9, t, slots), np.float64)
+    for ti in range(t):
+        c = rng.uniform(-5, 5, 3)
+        n_real = slots - rng.integers(0, slots // 2)
+        for m in range(n_real):
+            v = c + rng.uniform(-0.8, 0.8, (3, 3))
+            blocks[:, ti, m] = v.reshape(9)
+    p = blocks.reshape(3, 3, t, slots)
+    mask = (blocks != 0).any(axis=0)  # (t, slots)
+    big = 1e30
+    lo = np.where(mask[None, :, :], p.min(axis=1), big).min(axis=2) - 1e-4
+    hi = np.where(mask[None, :, :], p.max(axis=1), -big).max(axis=2) + 1e-4
+    aabb = np.concatenate([lo, hi])  # (6, t)
+    return aabb, blocks.astype(np.float32)
+
+
+def test_block_mt_pallas_matches_xla():
+    rng = np.random.default_rng(7)
+    t, slots = 3, 32
+    aabb, blocks = _fabricate(rng, t, slots)
+    ga = build_grouped(aabb, blocks)
+    tp = ga.aabb.shape[1]
+
+    nb = 6
+    block_tid = np.array([0, 1, 2, 0, 1, tp + 1], np.int32)  # last = sentinel
+    o = rng.uniform(-8, 8, (nb, BLOCK, 3))
+    d = rng.normal(size=(nb, BLOCK, 3))
+    d /= np.linalg.norm(d, axis=2, keepdims=True)
+    prx = [jnp.asarray(o[..., i], jnp.float32) for i in range(3)] + [
+        jnp.asarray(d[..., i], jnp.float32) for i in range(3)
+    ]
+
+    t_ref, slot_ref = _block_mt(
+        jnp.asarray(ga.geom_rows), jnp.asarray(block_tid), prx, slots, 0.0
+    )
+    t_ref = np.asarray(jnp.where(jnp.asarray(block_tid)[:, None] < tp, t_ref, jnp.inf))
+    slot_ref = np.asarray(slot_ref)
+
+    t_pl, slot_pl = block_mt_pallas(
+        jnp.asarray(block_tid), tuple(prx), jnp.asarray(ga.geom_w),
+        jnp.asarray(ga.cen), slots, tp, 0.0, interpret=True,
+    )
+    t_pl = np.asarray(t_pl)
+    slot_pl = np.asarray(slot_pl)
+
+    hit_ref = np.isfinite(t_ref)
+    hit_pl = np.isfinite(t_pl)
+    assert (hit_ref != hit_pl).mean() < 1e-3  # edge-grazing fp flips only
+    both = hit_ref & hit_pl
+    assert np.allclose(t_pl[both], t_ref[both], rtol=3e-5, atol=3e-5)
+    same = slot_pl[both] == slot_ref[both]
+    assert same.mean() > 0.999, same.mean()  # ties may pick either slot
+    # sentinel block produced no hits
+    assert not np.isfinite(t_pl[-1]).any()
