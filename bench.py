@@ -52,57 +52,21 @@ MATRIX = [
 def bench_one(scene: str, width: int, height: int, spp: int,
               reps: int, batch_cap: int, full_spp: int | None = None):
     """Measure steady-state throughput (and optionally one full
-    ``full_spp`` frame) for a scene config. Returns a result dict."""
-    from raytracing_course_2024_tpu.integrator.path import (
-        TraceConfig, render_pixels,
-    )
-    from raytracing_course_2024_tpu.ops.camera import camera_arrays
-    from raytracing_course_2024_tpu.runtime.render import (
-        BVH_BATCH, BVH_THRESHOLD,
-    )
+    ``full_spp`` frame) for a scene config, through the PRODUCTION
+    ``Renderer`` (so whatever engine ships for the scene class -- batch
+    for dense, regeneration wavefront for bvh -- is what gets measured).
+    Returns a result dict."""
+    from raytracing_course_2024_tpu.runtime.render import Renderer
     from raytracing_course_2024_tpu.scene import load_scene
-    from raytracing_course_2024_tpu.scene.build import build_scene_arrays
 
     desc = load_scene(scene, width, height, spp)
-    arrays, statics = build_scene_arrays(desc)
-    if statics.num_prims > BVH_THRESHOLD:
-        from raytracing_course_2024_tpu.ops.bvh import attach_bvh
+    r = Renderer(desc, batch_size=batch_cap)
+    backend = r.backend
 
-        arrays = attach_bvh(arrays, statics)
-        backend = "bvh"
-        batch_cap = min(batch_cap, BVH_BATCH)
-    else:
-        backend = "dense"
-    arrays = jax.tree.map(jnp.asarray, arrays)
-    cam = camera_arrays(desc.settings.camera)
-    cfg = TraceConfig(
-        ray_depth=desc.settings.ray_depth,
-        bg_color=tuple(desc.settings.bg_color),
-        backend=backend,
-    )
-
-    total = width * height
-    batch = min(batch_cap, total)
-    num_batches = -(-total // batch)
-
-    # ALL index math lives inside the one jitted program: on this TPU tunnel
-    # every distinct host-side op fragment is its own remotely-compiled
-    # executable (~1.5 s first use).
-    @jax.jit
-    def run(key, offset):
-        lin = jnp.arange(batch, dtype=jnp.int32)
-        idx = jnp.minimum(lin + offset, total - 1)
-        return render_pixels(
-            key, idx % width, idx // width, cam, arrays, statics, cfg,
-            width, height, spp, with_stats=True,
-        )
-
-    key = jax.random.PRNGKey(0)
     # warmup: compile + one-off device autotune pass (the first post-compile
     # execution is ~6x slower than steady state on the axon tunnel)
     for w in range(2):
-        out, nrays = run(jax.random.fold_in(key, 1000 + w), jnp.int32(0))
-        out.block_until_ready()
+        r.render_radiance(seed=1000 + w, samples=spp)
 
     # per-rep timing -> median + spread: run-to-run spread on the axon
     # tunnel was measured ~4% (VERDICT r2 weak #8), so single-rep numbers
@@ -110,24 +74,19 @@ def bench_one(scene: str, width: int, height: int, spp: int,
     rep_thr, rep_walls, rep_rays = [], [], []
     for rep in range(reps):
         t0 = time.perf_counter()
-        rays = 0.0
-        for i in range(num_batches):
-            out, nrays = run(
-                jax.random.fold_in(key, rep * num_batches + i),
-                jnp.int32(i * batch),
-            )
-            rays += float(nrays)  # float() syncs
+        _, st = r.render_radiance(seed=rep, samples=spp, with_stats=True)
         dt = time.perf_counter() - t0
-        rep_thr.append(rays / dt / 1e6)
+        rep_thr.append(st.path_vertices / dt / 1e6)
         rep_walls.append(dt)
-        rep_rays.append(rays)
-    order = sorted(range(reps), key=lambda r: rep_thr[r])
+        rep_rays.append(st.path_vertices)
+    order = sorted(range(reps), key=lambda q: rep_thr[q])
     mid = order[reps // 2]
 
     res = {
         "scene": os.path.basename(scene),
         "size": f"{width}x{height}",
         "backend": backend,
+        "engine": r.engine,
         "measure_spp": spp,
         "mrays": rep_thr[mid],
         "mrays_min": min(rep_thr),

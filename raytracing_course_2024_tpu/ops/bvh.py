@@ -289,7 +289,10 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics,
     from . import treelet as _tl
     from .treelet import TreeletArrays, _geom_cols, pad_to_slots, partition_treelets
 
-    slots = max_slots or _tl.TREELET_SLOTS
+    # RT_SLOTS: treelet capacity. Bigger treelets = fewer, bigger cells:
+    # cull/extraction shrink ~linearly and incoherent rays cross far fewer
+    # cells, at the cost of more (MXU-cheap) slot tests per visited cell.
+    slots = max_slots or int(os.environ.get("RT_SLOTS", "0")) or _tl.TREELET_SLOTS
 
     amin, amax = primitive_aabbs(scn)
     n = amin.shape[0]

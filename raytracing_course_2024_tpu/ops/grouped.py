@@ -2,66 +2,58 @@
 
 Replaces the reference's recursive nearest-hit BVH walk
 (/root/reference/src/bvh.rs:231-297) for 100k+ triangle glTF scenes with a
-TPU-shaped pipeline built on the one data-movement primitive this hardware
-does near speed-of-light: ``lax.sort`` with payload columns (measured
-~4 ms for 1M rows x 8 columns on v5e, vs ~10 ms for ANY 1M-row gather,
-scatter or cumsum -- see the chained microbenchmarks in git history).
+TPU-shaped EXHAUSTIVE pipeline built on the one data-movement primitive
+this hardware does near speed-of-light: ``lax.sort`` with payload columns
+(whose cost is mostly FIXED per call -- measured ~3.3-5.4 ms for 262k-1.3M
+rows x 8 columns on v5e -- while 1M-row gather/scatter/cumsum all cost
+~5-16 ms).
 
-Why not the treelet wavefront (ops/treelet.py)? Its per-ray geometry
-gathers move ``B x visits x 4.6 KB`` of treelet blocks through the ~88 GB/s
-gather path (~3 GB per bounce at 262k rays), which caps practice7_2/7_3
-at ~5 M path-vertices/s. Here geometry moves once per *block* of 128
-pairs that share a treelet (~40 MB per bounce), because pairs are grouped
-by treelet id with one sort.
+Design history (all measured on v5e, see git history + TODO.md): round 2
+built a nearest-first K-extraction main pass with a compacted straggler
+finish, betting that entry-ordered pruning keeps the tested-pair count
+small. Round-3 measurements killed it: on incoherent bounce-ray batches a
+ray's segment crosses mean 7-16 treelet AABBs (SLOTS=128: mean 15, p95 33)
+and 60%+ of rays overflow any small K, so the per-ray straggler loops
+dominated end-to-end (457 ms per 262k-ray batch vs 153 ms for the treelet
+wavefront). The pruning machinery cost more than the work it saved --
+sorts are fixed-cost, so testing MORE pairs in one sweep is nearly free,
+while per-ray loops to test FEWER pairs are ruinous.
 
-Pipeline per bounce (all static shapes; every stage chained-measured):
+The shipped design is therefore exhaustive: every treelet whose AABB the
+ray's segment crosses is block-tested exactly once, nothing is ordered or
+pruned, and the result provably equals the dense sweep's nearest hit.
 
-1. CULL    -- ONE fused flat pass: slab-test (B, Tp) treelet AABBs and emit
-   (a) an i32 KEY matrix packing EXACT entry-distance f32 bits | treelet
-   id (the ops/treelet.py packing -- any quantized key collapses on
-   bounce rays, whose nearby treelets all have entry ~0),
-   (b) hit bits packed into (B, W) uint32 words, (c) per-treelet counts.
-2. EXTRACT -- the K *nearest* treelets per ray: K min-reductions over the
-   key matrix with a strictly-greater-than-last mask (ordering is what
-   makes downstream pruning bite: bit-order extraction left 30-58% of
-   bounce rays without a best hit after the main pass, and their
-   straggler loops dominated the bounce at 10-20x the main-pass cost).
-3. COUNTS  -- pair counts per treelet for this pass = full counts minus
-   leftover counts; leftover bits exist only on straggler rays, so the
-   leftover count is computed on the COMPACTED straggler set (cheap).
-4. FILL    -- ``(-count) % BLOCK`` filler pairs per treelet make every
-   treelet's segment a BLOCK multiple: after sorting, EVERY block of
-   BLOCK pairs holds exactly one treelet id. No scatters, no leftovers.
-5. SORT#1  -- one ``lax.sort`` over (key=tid, rayid, ro.xyz, rd.xyz).
-6. TEST    -- per block: ONE geometry row gather of the treelet's packed
-   (9 x SLOTS) triangle planes, dense Moller-Trumbore over
-   (blocks, BLOCK, SLOTS), per-pair min + argmin.
-7. SORT#2  -- ``lax.sort`` by rayid: every real ray emitted exactly K pair
-   rows (sentinels included) and fillers carry rayid=B, so the first K*B
-   sorted rows reshape EXACTLY to (B, K) -> per-ray min.
-8. STRAGGLERS -- rays with more than K hit treelets keep leftover mask
-   bits: one full-B exact-entry prune against the main pass's best kills
-   most of them, the rest are finished nearest-first with best-bound
-   pruning (src/bvh.rs:258-262) in two compaction tiers (a wide chunk
-   with a round budget, then an 8x narrower chunk to completion -- the
-   straggler depth distribution is wide-but-shallow and a single
-   while_loop prices MAX rounds at full width). Nothing is dropped at
-   the caps; the outer loop re-compacts until every bit is resolved.
+Pipeline per bounce (all static shapes):
 
-The result equals an exhaustive nearest-hit: every hit treelet is either
-dense-tested with the same ``ray_triangle`` kernel as the dense backend or
-pruned by a strictly-closer best hit, so treelet/dense agreement tests
-carry over unchanged. Works on both treelet partitions (ops/bvh.py): the
-SAH subtree cut (default) and disjoint kd cells (RT_PARTITION=kd).
+1. CULL     -- one fused slab pass over the (B, Tp) treelet AABBs ->
+   per-ray hit-bit words (B, W) u32 + per-treelet ray counts.
+2. EXTRACT  -- pop the first K1 set bits per ray (cheap word ops: x & -x
+   + exponent trick; NO (B, Tp) min-ordering passes). Rays with more than
+   K1 crossings are compacted (~frac>K1 of the batch) and pop K2 more as
+   "virtual rays"; anything beyond K1+K2 loops the virtual tier (rare:
+   sized from measured p99s).
+3. FILL     -- ``(-count) % BLOCK`` filler pairs per treelet make every
+   treelet's pair segment a BLOCK multiple: after sorting, EVERY block of
+   BLOCK pairs holds exactly one treelet id.
+4. SORT#1   -- one ``lax.sort`` over (key=tid, rayid, ro.xyz, rd.xyz);
+   sentinel rows (unused extraction slots) sort to the tail as whole
+   blocks.
+5. TEST     -- per block: the treelet's precomputed MT coefficient tile
+   against all BLOCK rays -- ONE MXU matmul in the Pallas kernel
+   (ops/pallas_grouped.py, scalar-prefetch DMA + double buffering) on
+   real TPU, a VPU sweep otherwise. Sentinel blocks are skipped.
+6. SORT#2   -- ``lax.sort`` by rayid: real rays contributed exactly K1
+   rows and virtuals exactly K2, so the sorted prefix reshapes to
+   (B, K1) / (cap2, K2) -> per-ray min, then a tiny scatter-merge of the
+   virtual tier.
 
-STATUS (measured on practice7_3, 262k lanes, v5e): wins isolated-bounce
-A/Bs against the treelet wavefront on coherent rays (29 ms vs 40 ms) and
-loses on incoherent bounce rays (111 ms vs 59 ms: the straggler tail);
-END-TO-END it loses badly (~0.8 vs ~5 M path-vertices/s) because its
-sort+cull costs are FIXED per call while the wavefront's rounds collapse
-as lanes die across the depth scan (~20-25% mean occupancy). Opt-in via
-RT_TRAVERSE=grouped until the render loop regenerates dead lanes
-(persistent ray queues); see TODO.md for the full analysis.
+SLOTS (treelet capacity) tunes the workload shape: bigger treelets mean
+fewer, bigger cells -- the cull shrinks ~linearly and rays cross fewer
+cells, while each visited cell costs more (MXU-cheap) slot tests. Measured
+crossing counts on practice7_3 bounce rays: SLOTS=128 mean 15/p95 33;
+SLOTS=256 mean 7/p95 15 (best); SLOTS=512 mean 17+ (huge SAH subtree
+AABBs overlap pathologically). RT_SLOTS selects; the kd partition
+(RT_PARTITION=kd) measured worse at every setting and stays A/B-able.
 """
 
 from __future__ import annotations
@@ -77,21 +69,22 @@ from .intersect import DIR_BIAS, INF, ray_triangle
 from .scene_intersect import SceneHit, _fold_in_planes
 from .vec import Vec3
 
-BLOCK = 128  # pairs per single-treelet block (= one geometry fetch)
-# treelet visits handled by the grouped main pass per ray. Leftover visits
-# go to the (expensive, compacted) straggler finish; on incoherent bounce
-# rays mean visits are 5-8, so with the MXU block test making over-testing
-# cheap a LARGER K that starves the straggler path wins -- RT_K tunes it
-# (read at trace time; one compile per setting).
-K_MAIN = 3
+BLOCK = 128  # pairs per single-treelet block (= one geometry tile fetch)
+K1 = 8  # hit-bits popped per ray in the main tier (RT_K1 overrides)
+K2 = 16  # bits popped per compacted virtual ray per tier-2 round (RT_K2)
+CAP2_DIV = 4  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
 
 
-def _k_main() -> int:
+def _k1() -> int:
     import os
 
-    return int(os.environ.get("RT_K", str(K_MAIN)))
-STRAGGLER_DIV = 8  # straggler compaction cap = B // STRAGGLER_DIV
-KEY_MISS = jnp.int32(2**31 - 1)
+    return int(os.environ.get("RT_K1", str(K1)))
+
+
+def _k2() -> int:
+    import os
+
+    return int(os.environ.get("RT_K2", str(K2)))
 
 
 class GroupedArrays(NamedTuple):
@@ -103,12 +96,12 @@ class GroupedArrays(NamedTuple):
     aabb: "jnp.ndarray"  # (6, Tp) f32 [minx,miny,minz,maxx,maxy,maxz];
     # padding treelets carry an inverted box (min > max): never hit.
     geom_rows: "jnp.ndarray"  # (Tp, 9 * SLOTS) f32: per-treelet packed
-    # triangle planes [p0x|p0y|p0z|p1x|...|p2z], each (SLOTS,); ONE row
-    # gather per block. Tp = 32 * W (padding rows are zero => never hit).
-    geom_w: "jnp.ndarray" = None  # (Tp*16, 4*SLOTS) f32 centroid-local MT
-    # coefficient tiles (ops/mt_pack.py) for the Pallas MXU block test;
-    # cols component-major [det | udet | vdet | tdet], each (SLOTS,).
-    cen: "jnp.ndarray" = None  # (Tp, 128) f32, treelet centroid in cols 0-2
+    # triangle planes [p0x|p0y|p0z|p1x|...|p2z], each (SLOTS,); one row
+    # gather per block in the XLA fallback test.
+    geom_w: "jnp.ndarray" = None  # (Tp, 24, 4*SLOTS) f32 centroid-local MT
+    # coefficient tiles (ops/mt_pack.py) for the Pallas MXU block test:
+    # rows 0-15 = coefficients (cols component-major [det|udet|vdet|tdet],
+    # each (SLOTS,)), row 16 = treelet centroid (cols 0-2), rows 17-23 pad.
 
 
 def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
@@ -132,8 +125,8 @@ def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
 
     # MXU tiles: per-treelet (16, 4*SLOTS) MT coefficients in the treelet's
     # AABB-center frame (precision: mt_pack.py docstring). Fill slots are
-    # zero triangles -> efter centroid shift all three verts coincide ->
-    # det == 0 -> never valid.
+    # zero triangles -> after the centroid shift all three verts coincide
+    # -> det == 0 -> never valid.
     c = (np.asarray(tl_aabb[:3], np.float64) + np.asarray(tl_aabb[3:], np.float64)) * 0.5  # (3, T)
     bl = np.asarray(blocks, np.float64)  # (9, T, S)
     verts = []
@@ -141,40 +134,19 @@ def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
         v = bl[3 * k : 3 * k + 3] - c[:, :, None]  # (3, T, S) local
         verts.append(np.moveaxis(v, 0, -1).reshape(t * slots, 3))
     w = mt_w_matrices(*verts)  # (T*S, 16, 4) f32
-    w = w.reshape(t, slots, 16, 4).transpose(0, 2, 3, 1).reshape(t * 16, 4 * slots)
-    geom_w = np.zeros((tp * 16, 4 * slots), np.float32)
-    geom_w[: t * 16] = w
-    cen = np.zeros((tp, 128), np.float32)
-    cen[:t, 0:3] = c.T
+    w = w.reshape(t, slots, 16, 4).transpose(0, 2, 3, 1).reshape(t, 16, 4 * slots)
+    from .pallas_grouped import CEN_ROW, W_ROWS
+
+    geom_w = np.zeros((tp, W_ROWS, 4 * slots), np.float32)
+    geom_w[:t, :16] = w
+    geom_w[:t, CEN_ROW, 0:3] = c.T
     return GroupedArrays(
-        aabb=np.ascontiguousarray(aabb), geom_rows=geom, geom_w=geom_w, cen=cen
+        aabb=np.ascontiguousarray(aabb), geom_rows=geom, geom_w=geom_w
     )
 
 
-def _tid_bits(tp: int) -> int:
-    return max(int(np.ceil(np.log2(max(tp, 2)))), 1)
-
-
-def _key_of(t, bits: int):
-    """ops/treelet.py key packing: positive-f32 entry bits are order-
-    preserving as int; the low ``bits`` make room for the treelet id.
-    EXACT keys matter: bounce rays start ON surfaces, so every nearby
-    treelet has entry ~0 -- any quantized-distance key collapses them into
-    one bucket and "nearest-K" degenerates to index order (measured: the
-    straggler population stays 3x larger and the tail costs 8x more)."""
-    ib = jax.lax.bitcast_convert_type(jnp.maximum(t, 0.0), jnp.int32)
-    return jax.lax.shift_left(jax.lax.shift_right_logical(ib, bits), bits)
-
-
-def _bound_of(bt, bits: int):
-    """Inflated best-hit key: truncation can only cause extra work, never
-    a missed nearer hit (ops/treelet.py's rule, src/bvh.rs:258-262)."""
-    tid_mask = jnp.int32((1 << bits) - 1)
-    return _key_of(bt * (1.0 + 1.0 / (1 << (23 - bits - 1))), bits) | tid_mask
-
-
 # ---------------------------------------------------------------------------
-# stage 1: one fused flat cull -> u16 keys + (B, W) hit words + counts
+# stage 1: fused slab cull -> (B, W) hit words + per-treelet counts
 # ---------------------------------------------------------------------------
 
 
@@ -200,38 +172,18 @@ def _slab_lo_hi(ro: Vec3, rd: Vec3, aabb):
     return lo, hi
 
 
-def _cull_keys(ro: Vec3, rd: Vec3, ga: "GroupedArrays", tmin):
-    """(keys (B, Tp) i32 exact entry|tid, words (B, W) u32, counts (Tp,))."""
+def _cull_bits(ro: Vec3, rd: Vec3, ga: "GroupedArrays", tmin):
+    """(words (B, W) u32 crossing bits, counts (Tp,) i32 rays per treelet)."""
     b = ro.x.shape[0]
     tp = ga.aabb.shape[1]
     w = tp // 32
-    bits = _tid_bits(tp)
     lo, hi = _slab_lo_hi(ro, rd, ga.aabb)
     hit = (lo <= hi) & (hi > tmin)  # (B, Tp)
-    tid = jax.lax.broadcasted_iota(jnp.int32, (b, tp), 1)
-    keys = jnp.where(hit, _key_of(lo, bits) | tid, KEY_MISS)
     hitb = hit.reshape(b, w, 32).astype(jnp.uint32)
     shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     words = jnp.sum(hitb * shifts, axis=2, dtype=jnp.uint32)  # (B, W)
     counts = jnp.sum(hit, axis=0, dtype=jnp.int32)  # (Tp,)
-    return keys, words, counts
-
-
-def _next_key(keys, last):
-    """Per-ray minimum key strictly greater than ``last`` (one fused pass)."""
-    return jnp.min(
-        jnp.where(keys > last[:, None], keys, KEY_MISS), axis=1
-    )
-
-
-def _clear_bit(words, tid):
-    """Clear treelet bit ``tid`` per ray in the (B, W) words (one-hot)."""
-    w = words.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, words.shape, 1)
-    bit = jnp.uint32(1) << (tid & 31)[:, None].astype(jnp.uint32)
-    return jnp.where(
-        (lane == (tid >> 5)[:, None]) & (tid >= 0)[:, None], words ^ bit, words
-    )
+    return words, counts
 
 
 def _count_rows(m, tp):
@@ -243,7 +195,45 @@ def _count_rows(m, tp):
 
 
 # ---------------------------------------------------------------------------
-# stage 6: dense single-treelet block test
+# stage 2: pop set bits (word ops only -- no (B, Tp) ordering passes)
+# ---------------------------------------------------------------------------
+
+
+def _pop_lowest(m):
+    """Pop each ray's lowest set bit: (tid (B,) i32 | -1, m') -- pure
+    word-parallel ops: first nonzero word, x & -x, f32-exponent bit index
+    (exact: the isolated bit is a power of two)."""
+    nz = m != 0
+    wi = jnp.argmax(nz, axis=1).astype(jnp.int32)  # first nonzero word
+    lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    sel = lane == wi[:, None]
+    word = jnp.sum(jnp.where(sel, m, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    low = word & (jnp.uint32(0) - word)
+    e = (
+        jax.lax.shift_right_logical(
+            jax.lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32),
+            23,
+        )
+        - 127
+    )
+    has = word != jnp.uint32(0)
+    tid = jnp.where(has, wi * 32 + e, -1)
+    m2 = m ^ jnp.where(sel & has[:, None], low[:, None], jnp.uint32(0))
+    return tid, m2
+
+
+def _pop_k(m, k: int):
+    """First k set bits per ray: (tids (k, B) i32 | -1, m')."""
+    tids = []
+    for _ in range(k):
+        tid, m = _pop_lowest(m)
+        tids.append(tid)
+    return jnp.stack(tids), m
+
+
+# ---------------------------------------------------------------------------
+# stage 5: dense single-treelet block test (XLA fallback; the TPU path is
+# ops/pallas_grouped.block_mt_pallas)
 # ---------------------------------------------------------------------------
 
 
@@ -273,135 +263,23 @@ def _block_mt(geom_rows, block_tid, prx, slots, tmin):
     return jnp.min(t, axis=2), slot
 
 
-# ---------------------------------------------------------------------------
-# stage 8: straggler finish -- nearest-first pruned rounds on the compacted
-# leftover set, seeded with the main pass's best hit
-# ---------------------------------------------------------------------------
+def _test_blocks(ga: "GroupedArrays", block_tid, prx, slots, tp, tmin):
+    import os
 
-
-def _straggler_finish(
-    words, ro, rd, best_t, best_idx, ga: "GroupedArrays", tmin
-):
-    """Finish rays whose leftover mask bits survived the main pass.
-
-    Nearest-first rounds over exact int32 entry keys recomputed on the
-    compacted set; an inflated best bound stops each ray after the few
-    treelets that genuinely enter before its best hit (src/bvh.rs:258-262).
-    Two compaction tiers bound the width x max-rounds product (module doc)."""
-    b = ro.x.shape[0]
-    w = words.shape[1]
-    tp = ga.aabb.shape[1]
-    bits = _tid_bits(tp)
-    tid_mask = jnp.int32((1 << bits) - 1)
-    slots = ga.geom_rows.shape[1] // 9
-    max_key = KEY_MISS
-    # TWO TIERS: the straggler distribution is wide-but-shallow (measured
-    # practice7_3 bounce rays: 11% of rays keep leftovers, mean 2.2 but
-    # p99 = 22 unpruned treelets). A single while_loop prices MAX rounds
-    # at full chunk width; instead the wide tier runs a bounded number of
-    # rounds and hands the deep tail to a 8x narrower chunk.
-    cap_wide = min(max(b // STRAGGLER_DIV, 256), b)
-    cap_narrow = min(max(b // (8 * STRAGGLER_DIV), 256), b)
-
-    def make_chunk(cap, max_rounds):
-        def chunk(state):
-            m, best_t, best_idx = state
-            leftover = jnp.any(m != 0, axis=1)
-            idx = jnp.nonzero(leftover, size=cap, fill_value=b)[0]
-            safe = jnp.minimum(idx, b - 1)
-            live = idx < b
-            sub_m = jnp.where(
-                live[:, None], jnp.take(m, safe, axis=0), jnp.uint32(0)
-            )
-            s_ro = Vec3(ro.x[safe], ro.y[safe], ro.z[safe])
-            s_rd = Vec3(rd.x[safe], rd.y[safe], rd.z[safe])
-            s_bt = jnp.where(live, best_t[safe], INF)
-            s_bi = best_idx[safe]
-
-            # exact keys for the leftover bits only (one compact slab pass)
-            lo, _ = _slab_lo_hi(s_ro, s_rd, ga.aabb)
-            bit_on = (
-                (sub_m.reshape(cap, w, 1) >> jnp.arange(32, dtype=jnp.uint32))
-                & 1
-            ).reshape(cap, tp) == 1
-            tid_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, tp), 1)
-            sub_keys = jnp.where(bit_on, _key_of(lo, bits) | tid_iota, max_key)
-
-            def next_key(last):
-                return jnp.min(
-                    jnp.where(sub_keys > last[:, None], sub_keys, max_key),
-                    axis=1,
-                )
-
-            def cond(carry):
-                r, nxt, _, bt, _ = carry
-                return (r < max_rounds) & jnp.any(
-                    (nxt < max_key) & (nxt <= _bound_of(bt, bits))
-                )
-
-            def body(carry):
-                r, nxt, sm, bt, bi = carry
-                active = (nxt < max_key) & (nxt <= _bound_of(bt, bits))
-                tid_c = jnp.where(active, nxt & tid_mask, 0)
-                sm = _clear_bit(sm, jnp.where(active, tid_c, -1))
-                g = jnp.take(ga.geom_rows, jnp.clip(tid_c, 0, tp - 1), axis=0)
-                g = g.reshape(cap, 9, slots)
-
-                def pl(i):
-                    return g[:, i, :]
-
-                a = Vec3(pl(0), pl(1), pl(2))
-                b_ = Vec3(pl(3), pl(4), pl(5))
-                c = Vec3(pl(6), pl(7), pl(8))
-                ro_b = Vec3(s_ro.x[:, None], s_ro.y[:, None], s_ro.z[:, None])
-                rd_b = Vec3(s_rd.x[:, None], s_rd.y[:, None], s_rd.z[:, None])
-                t, _, _, valid = ray_triangle(ro_b, rd_b, a, b_, c)
-                t = jnp.where(valid & (t > tmin), t, INF)
-                slot = jnp.argmin(t, axis=1).astype(jnp.int32)
-                t_hit = jnp.min(t, axis=1)
-                better = active & (t_hit < bt)
-                bi = jnp.where(better, tid_c * slots + slot, bi)
-                bt = jnp.where(better, t_hit, bt)
-                nxt = jnp.where(active, next_key(nxt), max_key)
-                return r + 1, nxt, sm, bt, bi
-
-            init = (
-                jnp.int32(0),
-                next_key(jnp.full((cap,), -1, jnp.int32)),
-                sub_m,
-                s_bt,
-                s_bi,
-            )
-            _, nxt, sub_m, s_t, s_i = jax.lax.while_loop(cond, body, init)
-            # rays cut off by the round budget keep their remaining bits
-            # (re-compacted into the narrow tier); finished rays drop them
-            alive = (nxt < max_key) & (nxt <= _bound_of(s_t, bits))
-            sub_m = jnp.where(
-                alive[:, None] & live[:, None], sub_m, jnp.uint32(0)
-            )
-            best_t = best_t.at[idx].set(s_t, mode="drop")
-            best_idx = best_idx.at[idx].set(s_i, mode="drop")
-            m = m.at[idx].set(sub_m, mode="drop")
-            return m, best_t, best_idx
-
-        return chunk
-
-    chunk_wide = make_chunk(cap_wide, 6)
-    chunk_narrow = make_chunk(cap_narrow, 1 << 30)
-
-    def any_left(state):
-        m, _, _ = state
-        return jnp.any(m != 0)
-
-    def step(state):
-        m, _, _ = state
-        n = jnp.sum(jnp.any(m != 0, axis=1))
-        return jax.lax.cond(n > cap_narrow, chunk_wide, chunk_narrow, state)
-
-    _, best_t, best_idx = jax.lax.while_loop(
-        any_left, step, (words, best_t, best_idx)
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("RT_NO_PALLAS")
+        and ga.geom_w is not None
+        and isinstance(tmin, (int, float))
     )
-    return best_t, best_idx
+    if use_pallas:
+        from .pallas_grouped import block_mt_pallas
+
+        return block_mt_pallas(
+            block_tid, tuple(prx), ga.geom_w, slots, tp, float(tmin),
+            precision=os.environ.get("RT_MT_PRECISION", "highest"),
+        )
+    return _block_mt(ga.geom_rows, block_tid, prx, slots, tmin)
 
 
 # ---------------------------------------------------------------------------
@@ -409,13 +287,74 @@ def _straggler_finish(
 # ---------------------------------------------------------------------------
 
 
+def _sweep(ga, tid_col, ray_col, comp_cols, counts, slots, tp, tmin,
+           n_groups):
+    """Sort flat (tid, group, ray) pair rows into single-treelet blocks,
+    test, sort back by group id. ``tid_col``/``ray_col``/``comp_cols`` are
+    flat (R,) columns; sentinel rows carry tid -1. Returns (t, idx) flat,
+    sorted ascending by group id (fill rows, group == n_groups, at the
+    tail) -- the caller slices by its known rows-per-group layout."""
+    sentinel_key = jnp.int32(tp + 1)
+    fill_n = (-counts) % BLOCK  # (Tp,)
+    filler_key = jnp.where(
+        jnp.arange(BLOCK, dtype=jnp.int32)[None, :] < fill_n[:, None],
+        jnp.arange(tp, dtype=jnp.int32)[:, None],
+        sentinel_key,
+    ).reshape(-1)  # (Tp * BLOCK,)
+    nfill = tp * BLOCK
+
+    key = jnp.where(tid_col >= 0, tid_col, sentinel_key)
+    key = jnp.concatenate([key, filler_key])
+    ray_col = jnp.concatenate(
+        [ray_col, jnp.full((nfill,), n_groups, jnp.int32)]
+    )
+
+    def cfill(c):
+        return jnp.concatenate([c, jnp.zeros((nfill,), c.dtype)])
+
+    sorted_cols = jax.lax.sort(
+        (key, ray_col) + tuple(cfill(c) for c in comp_cols), num_keys=1
+    )
+    s_key, s_ray = sorted_cols[0], sorted_cols[1]
+    s_comps = sorted_cols[2:]
+
+    nb = s_key.shape[0] // BLOCK
+    block_tid = s_key.reshape(nb, BLOCK)[:, 0]
+    prx = [c.reshape(nb, BLOCK) for c in s_comps]
+    t_pair, slot_pair = _test_blocks(ga, block_tid, prx, slots, tp, tmin)
+    real = (block_tid < tp)[:, None] & (s_ray.reshape(nb, BLOCK) < n_groups)
+    t_pair = jnp.where(real, t_pair, INF)
+    idx_pair = jnp.clip(block_tid, 0, tp - 1)[:, None] * slots + slot_pair
+
+    # back to group-major order
+    _, r_t, r_idx = jax.lax.sort(
+        (s_ray, t_pair.reshape(-1), idx_pair.reshape(-1)), num_keys=1
+    )
+    return r_t, r_idx
+
+
+def _row_min(t_bk, i_bk):
+    """(G, k) -> per-group (t, idx) min via a static where-chain."""
+    best_t = t_bk[:, 0]
+    best_idx = i_bk[:, 0]
+    for j in range(1, t_bk.shape[1]):
+        better = t_bk[:, j] < best_t
+        best_idx = jnp.where(better, i_bk[:, j], best_idx)
+        best_t = jnp.where(better, t_bk[:, j], best_t)
+    return best_t, best_idx
+
+
 def nearest_hit_grouped(
     ro: Vec3, rd: Vec3, scn: SceneArrays, statics: SceneStatics, tmin=0.0
 ) -> SceneHit:
-    """Nearest hit over the treelet-partitioned triangle table (module doc)."""
+    """Exhaustive nearest hit over the treelet-partitioned triangle table
+    (module doc): every crossed treelet is block-tested exactly once, so
+    the result equals the dense sweep's nearest hit."""
+    k1 = _k1()
+    k2 = _k2()
     b_in = ro.x.shape[0]
-    lane_mult = BLOCK // np.gcd(_k_main(), BLOCK)
-    pad = (-b_in) % lane_mult  # K*B must be a BLOCK multiple
+    lane_mult = BLOCK // np.gcd(k1, BLOCK)
+    pad = (-b_in) % lane_mult  # K1*B must be a BLOCK multiple
     if pad:
 
         def p(c):  # pad rays that hit nothing: distant origin, unit dir
@@ -435,154 +374,115 @@ def nearest_hit_grouped(
     ga: GroupedArrays = scn.bvh.grouped
     slots = ga.geom_rows.shape[1] // 9
     tp = ga.aabb.shape[1]
-    bits = _tid_bits(tp)
-    tid_mask = jnp.int32((1 << bits) - 1)
     b = b_in
-    k = _k_main()
-    sentinel_key = jnp.int32(tp + 1)  # sort-#1 key after every real tid
+    cap2 = max(((b // CAP2_DIV) // BLOCK) * BLOCK, BLOCK)
 
-    # 1. cull
-    keys, words, full_counts = _cull_keys(ro, rd, ga, tmin)
+    # 1. cull -> crossing bits + full per-treelet counts
+    words, full_counts = _cull_bits(ro, rd, ga, tmin)
 
-    # 2. extract the K nearest treelets per ray (quantized entry order)
-    m = words
-    tids = []
-    last = jnp.full((b,), -1, jnp.int32)
-    for _ in range(k):
-        last = _next_key(keys, last)
-        tid = jnp.where(last < KEY_MISS, last & tid_mask, -1)
-        m = _clear_bit(m, tid)
-        tids.append(tid)
-    tid_kb = jnp.stack(tids)  # (K, B); -1 where exhausted
+    # 2a. main tier: first K1 crossings per ray
+    tid_k1, m = _pop_k(words, k1)
 
-    # 3. counts of extracted pairs = full - leftover (leftover counted on
-    # the compacted straggler set; zero stragglers is the common case)
-    n_strag = jnp.sum(jnp.any(m != 0, axis=1))
+    # 2b. virtual tier: compact rays with leftovers, pop K2 more
+    strag = jnp.any(m != 0, axis=1)
+    idx2 = jnp.nonzero(strag, size=cap2, fill_value=b)[0]
+    safe2 = jnp.minimum(idx2, b - 1)
+    live2 = idx2 < b
+    sub_m = jnp.where(live2[:, None], jnp.take(m, safe2, axis=0), jnp.uint32(0))
+    tid_k2, sub_m = _pop_k(sub_m, k2)
+    # write remaining bits back for the overflow loop; straggler rows that
+    # did not fit cap2 keep all their bits untouched
+    m = m.at[idx2].set(sub_m, mode="drop")
 
-    def left_counts(m):
-        cap = min(max(b // STRAGGLER_DIV, 256), b)
-        idx = jnp.nonzero(jnp.any(m != 0, axis=1), size=cap, fill_value=b)[0]
-        live = idx < b
-        sub = jnp.where(
-            live[:, None], jnp.take(m, jnp.minimum(idx, b - 1), axis=0), jnp.uint32(0)
-        )
-        full = _count_rows(sub, tp)
+    # pairs emitted into this sweep = full - whatever remains unpopped
+    counts = full_counts - _count_rows(m, tp)
 
-        def overflow():
-            # cap overflow: count the (rare) un-compacted remainder exactly
-            extra = m.at[jnp.minimum(idx, b - 1)].set(
-                jnp.zeros_like(sub), mode="drop"
-            )
-            return _count_rows(extra, tp)
+    # one combined sweep: K1 rows per real ray + K2 rows per virtual ray
+    comps = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z)
+    n_groups = b + cap2
 
-        return full + jax.lax.cond(
-            jnp.sum(jnp.any(m != 0, axis=1)) > cap,
-            overflow,
-            lambda: jnp.zeros((tp,), jnp.int32),
-        )
+    def tier_rows(c):
+        main = jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1)
+        virt = jnp.broadcast_to(
+            jnp.where(live2, c[safe2], 0.0)[None, :], (k2, cap2)
+        ).reshape(-1)
+        return jnp.concatenate([main, virt])
 
-    leftover_counts = jax.lax.cond(
-        n_strag == 0,
-        lambda m: jnp.zeros((tp,), jnp.int32),
-        left_counts,
-        m,
+    tid_col = jnp.concatenate([tid_k1.reshape(-1), tid_k2.reshape(-1)])
+    ray_main = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[None, :], (k1, b)
+    ).reshape(-1)
+    ray_virt = jnp.broadcast_to(
+        (b + jnp.arange(cap2, dtype=jnp.int32))[None, :], (k2, cap2)
+    ).reshape(-1)
+    ray_col = jnp.concatenate([ray_main, ray_virt])
+    comp_cols = tuple(tier_rows(c) for c in comps)
+
+    t_flat, i_flat = _sweep(
+        ga, tid_col, ray_col, comp_cols, counts, slots, tp, tmin, n_groups
     )
-    counts = full_counts - leftover_counts
-
-    # 4. fillers: pad every treelet's pair segment to a BLOCK multiple
-    fill_n = (-counts) % BLOCK  # (Tp,)
-    filler_key = jnp.where(
-        jnp.arange(BLOCK, dtype=jnp.int32)[None, :] < fill_n[:, None],
-        jnp.arange(tp, dtype=jnp.int32)[:, None],
-        sentinel_key,
-    ).reshape(-1)  # (Tp * BLOCK,)
-
-    # 5. sort #1: group pairs by treelet id
-    rayid = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[None, :], (k, b))
-    key = jnp.where(tid_kb >= 0, tid_kb, sentinel_key).reshape(-1)
-    key = jnp.concatenate([key, filler_key])
-    nfill = tp * BLOCK
-    ray_col = jnp.concatenate(
-        [rayid.reshape(-1), jnp.full((nfill,), b, jnp.int32)]
+    # group-major layout: first k1*b rows = real rays (k1 each), next
+    # k2*cap2 = virtuals (k2 each), fill at the tail
+    best_t, best_idx = _row_min(
+        t_flat[: k1 * b].reshape(b, k1), i_flat[: k1 * b].reshape(b, k1)
+    )
+    v_t, v_i = _row_min(
+        t_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
+        i_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
+    )
+    cur_t = best_t[safe2]
+    take = live2 & (v_t < cur_t)
+    best_t = best_t.at[idx2].set(jnp.where(take, v_t, cur_t), mode="drop")
+    best_idx = best_idx.at[idx2].set(
+        jnp.where(take, v_i, best_idx[safe2]), mode="drop"
     )
 
-    def bfill(c):
-        return jnp.concatenate(
-            [
-                jnp.broadcast_to(c[None, :], (k, b)).reshape(-1),
-                jnp.zeros((nfill,), c.dtype),
-            ]
+    # overflow loop: rays with more than K1 + K2 crossings (rare; sized
+    # from the measured p99) or a virtual tier wider than cap2
+    def any_left(state):
+        m, _, _ = state
+        return jnp.any(m != 0)
+
+    def more(state):
+        m, best_t, best_idx = state
+        strag = jnp.any(m != 0, axis=1)
+        idx2 = jnp.nonzero(strag, size=cap2, fill_value=b)[0]
+        safe2 = jnp.minimum(idx2, b - 1)
+        live2 = idx2 < b
+        sub_m = jnp.where(
+            live2[:, None], jnp.take(m, safe2, axis=0), jnp.uint32(0)
         )
-
-    sorted_cols = jax.lax.sort(
-        (key, ray_col) + tuple(bfill(c) for c in (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z)),
-        num_keys=1,
-    )
-    s_key, s_ray = sorted_cols[0], sorted_cols[1]
-    s_comps = sorted_cols[2:]
-
-    # 6. block test (every block holds one treelet id by construction):
-    # Pallas MXU kernel on real TPU (scalar-prefetch geometry DMA + one
-    # dot_general per block -- ops/pallas_grouped.py), XLA VPU sweep
-    # otherwise
-    import os as _os2
-
-    nb = s_key.shape[0] // BLOCK
-    block_tid = s_key.reshape(nb, BLOCK)[:, 0]
-    prx = [c.reshape(nb, BLOCK) for c in s_comps]
-    use_pallas_test = (
-        jax.default_backend() == "tpu"
-        and not _os2.environ.get("RT_NO_PALLAS")
-        and ga.geom_w is not None
-        and isinstance(tmin, (int, float))
-    )
-    if use_pallas_test:
-        from .pallas_grouped import block_mt_pallas
-
-        t_pair, slot_pair = block_mt_pallas(
-            block_tid, tuple(prx), ga.geom_w, ga.cen, slots, tp, float(tmin),
-            precision=_os2.environ.get("RT_MT_PRECISION", "highest"),
+        before = _count_rows(sub_m, tp)
+        tid_k2, sub_m = _pop_k(sub_m, k2)
+        emitted = before - _count_rows(sub_m, tp)
+        m = m.at[idx2].set(sub_m, mode="drop")
+        scomps = tuple(
+            jnp.broadcast_to(
+                jnp.where(live2, c[safe2], 0.0)[None, :], (k2, cap2)
+            ).reshape(-1)
+            for c in comps
         )
-    else:
-        t_pair, slot_pair = _block_mt(ga.geom_rows, block_tid, prx, slots, tmin)
-    real = (block_tid < tp)[:, None] & (s_ray.reshape(nb, BLOCK) < b)
-    t_pair = jnp.where(real, t_pair, INF)
-    idx_pair = jnp.clip(block_tid, 0, tp - 1)[:, None] * slots + slot_pair
-
-    # 7. sort #2: back to ray-major; each real ray contributed exactly K rows
-    _, r_t, r_idx = jax.lax.sort(
-        (s_ray, t_pair.reshape(-1), idx_pair.reshape(-1)), num_keys=1
-    )
-    t_bk = r_t[: k * b].reshape(b, k)
-    i_bk = r_idx[: k * b].reshape(b, k)
-    best_t = t_bk[:, 0]
-    best_idx = i_bk[:, 0]
-    for j in range(1, k):  # static where-chain; no per-lane gather
-        better = t_bk[:, j] < best_t
-        best_idx = jnp.where(better, i_bk[:, j], best_idx)
-        best_t = jnp.where(better, t_bk[:, j], best_t)
-
-    # 8. stragglers: one full-B exact-entry prune first -- the main pass
-    # tested the K nearest treelets, so best_t kills almost every leftover
-    # bit (quantized key buckets are too coarse to do this) -- then the
-    # compacted finish handles what survives
-    def prune_and_finish(args):
-        m, bt, bi = args
-        lo, _ = _slab_lo_hi(ro, rd, ga.aabb)
-        keep = jnp.maximum(lo, 0.0) <= bt[:, None]
-        keep_w = jnp.sum(
-            keep.reshape(b, tp // 32, 32).astype(jnp.uint32)
-            * (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :],
-            axis=2,
-            dtype=jnp.uint32,
+        ray_v = jnp.broadcast_to(
+            jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
+        ).reshape(-1)
+        t_flat, i_flat = _sweep(
+            ga, tid_k2.reshape(-1), ray_v, scomps, emitted, slots, tp, tmin,
+            cap2,
         )
-        return _straggler_finish(m & keep_w, ro, rd, bt, bi, ga, tmin)
+        v_t, v_i = _row_min(
+            t_flat[: k2 * cap2].reshape(cap2, k2),
+            i_flat[: k2 * cap2].reshape(cap2, k2),
+        )
+        cur_t = best_t[safe2]
+        take = live2 & (v_t < cur_t)
+        best_t = best_t.at[idx2].set(jnp.where(take, v_t, cur_t), mode="drop")
+        best_idx = best_idx.at[idx2].set(
+            jnp.where(take, v_i, best_idx[safe2]), mode="drop"
+        )
+        return m, best_t, best_idx
 
-    best_t, best_idx = jax.lax.cond(
-        n_strag == 0,
-        lambda args: (args[1], args[2]),
-        prune_and_finish,
-        (m, best_t, best_idx),
+    _, best_t, best_idx = jax.lax.while_loop(
+        any_left, more, (m, best_t, best_idx)
     )
 
     out = SceneHit(

@@ -5,17 +5,23 @@ SLOTS triangle slots. The XLA fallback (`ops.grouped._block_mt`) gathers
 the treelet's 9 geometry planes per block through XLA's ~88 GB/s gather
 path and runs ~60 VPU flops per (pair, slot). This kernel instead:
 
-* streams each block's precomputed MT coefficient tile (ops/mt_pack.py:
-  a (16, 4*SLOTS) matrix per treelet) from HBM with the scalar-prefetch
-  DMA pattern -- the block's treelet id indexes the BlockSpec, so the DMA
-  engine fetches exactly one tile per grid step at full HBM bandwidth;
+* processes 8 pair-blocks per grid step (rays live in (1, 8, 128) VMEM
+  blocks -- the (8, 128) tile Mosaic requires; a flat (128,) block loses
+  to XLA's T(1024) 1-D layout choice);
+* keeps ONE cached MT coefficient tile (ops/mt_pack.py; (24, 4*SLOTS):
+  16 coefficient rows + the treelet centroid in row 16) in VMEM scratch
+  that persists across grid steps, re-DMAing only when a block's treelet
+  id differs from the cached one -- sort #1 makes treelet segments span
+  many consecutive blocks, so DMA count ~ segments, not blocks (the
+  naive per-block-DMA variant measured latency-bound at ~1.6 us/block);
 * evaluates all SLOTS triangles with ONE dot_general on the MXU
-  ((16, BLOCK) phi against the tile; contraction over the 16 bilinear ray
-  features), HIGHEST precision so full f32 survives the systolic array;
-* folds the MT predicate and the per-pair min/argmin in VMEM, writing only
+  (contraction over the 16 bilinear ray features, HIGHEST precision so
+  full f32 survives the systolic array);
+* folds the MT predicate and the per-pair min/argmin in VMEM (manual
+  iota-min argmin -- Mosaic cannot lower jnp.argmin), writing only
   (t, slot) per pair back to HBM;
-* skips sentinel blocks (beyond the real pair population) entirely --
-  their DMA is clamped to tile 0 and the compute is predicated off.
+* skips sentinel sub-blocks (beyond the real pair population): no DMA,
+  no compute.
 
 Geometry is centroid-local per treelet (the tile is built from vertices
 minus the treelet's AABB center; the kernel subtracts the same center from
@@ -36,64 +42,91 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_intersect import cast_to_vma, vma_union
 
 BLOCK = 128  # pairs per block (ops/grouped.py BLOCK)
+SUB = 8  # pair-blocks per grid step (the (8, 128) ray tile)
+W_ROWS = 24  # 16 coefficient rows + centroid row (16) + pad to 8-multiple
+CEN_ROW = 16
 
 
-def _kernel(slots: int, sentinel: int, tmin: float, precision,
+def _kernel(slots: int, sentinel: int, tmin: float, prec,
             tids_ref,
             rox, roy, roz, rdx, rdy, rdz,
-            w_ref, cen_ref,
-            o_t, o_slot):
-    i = pl.program_id(0)
-    tid = tids_ref[i]
+            w_hbm,
+            o_t, o_slot,
+            w_scr, cur_tid, sem):
+    g = pl.program_id(0)
 
-    @pl.when(tid < sentinel)
+    @pl.when(g == 0)
     def _():
-        cx = cen_ref[0, 0]
-        cy = cen_ref[0, 1]
-        cz = cen_ref[0, 2]
-        ox = rox[0, :] - cx
-        oy = roy[0, :] - cy
-        oz = roz[0, :] - cz
-        dx = rdx[0, :]
-        dy = rdy[0, :]
-        dz = rdz[0, :]
-        one = jnp.ones_like(ox)
-        # phi rows: [o (x) d row-major | o | d | 1] (ops/mt_pack.py layout),
-        # stacked on the sublane axis so the lane dim stays BLOCK
-        phi = jnp.stack(
-            [
-                ox * dx, ox * dy, ox * dz,
-                oy * dx, oy * dy, oy * dz,
-                oz * dx, oz * dy, oz * dz,
-                ox, oy, oz, dx, dy, dz, one,
-            ],
-            axis=0,
-        )  # (16, BLOCK)
-        out = jax.lax.dot_general(
-            phi,
-            w_ref[:, :],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )  # (BLOCK, 4*SLOTS), cols component-major [det|udet|vdet|tdet]
-        det = out[:, 0 * slots : 1 * slots]
-        ud = out[:, 1 * slots : 2 * slots]
-        vd = out[:, 2 * slots : 3 * slots]
-        td = out[:, 3 * slots : 4 * slots]
-        nz = jnp.abs(det) > 1e-30
-        inv = 1.0 / jnp.where(nz, det, 1e-30)
-        u = ud * inv
-        v = vd * inv
-        t = td * inv
-        ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & nz & (t > tmin)
-        t = jnp.where(ok, t, jnp.inf)
-        o_slot[0, :] = jnp.argmin(t, axis=1).astype(jnp.int32)
-        o_t[0, :] = jnp.min(t, axis=1)
+        cur_tid[0] = -1  # no tile cached yet (scratch persists across grid)
 
-    @pl.when(tid >= sentinel)
-    def _():
-        o_t[0, :] = jnp.full((BLOCK,), jnp.inf, jnp.float32)
-        o_slot[0, :] = jnp.zeros((BLOCK,), jnp.int32)
+    for j in range(SUB):
+        tid = tids_ref[g * SUB + j]
+
+        # sort #1 groups pairs by treelet, so a treelet's segment spans many
+        # consecutive blocks (mean pairs/treelet >> BLOCK): only fetch the
+        # coefficient tile when the id CHANGES -- total DMA count ~ number
+        # of treelet segments, not number of blocks (measured 25x win: the
+        # per-block-DMA variant was latency-bound at ~1.6 us/block)
+        @pl.when((tid < sentinel) & (tid != cur_tid[0]))
+        def _():
+            dma = pltpu.make_async_copy(w_hbm.at[tid], w_scr, sem)
+            dma.start()
+            dma.wait()
+            cur_tid[0] = tid
+
+        @pl.when(tid < sentinel)
+        def _(j=j):
+            cx = w_scr[CEN_ROW, 0]
+            cy = w_scr[CEN_ROW, 1]
+            cz = w_scr[CEN_ROW, 2]
+            ox = rox[0, j, :] - cx
+            oy = roy[0, j, :] - cy
+            oz = roz[0, j, :] - cz
+            dx = rdx[0, j, :]
+            dy = rdy[0, j, :]
+            dz = rdz[0, j, :]
+            one = jnp.ones_like(ox)
+            # phi rows: [o (x) d row-major | o | d | 1] (ops/mt_pack.py),
+            # stacked on the sublane axis so the lane dim stays BLOCK
+            phi = jnp.stack(
+                [
+                    ox * dx, ox * dy, ox * dz,
+                    oy * dx, oy * dy, oy * dz,
+                    oz * dx, oz * dy, oz * dz,
+                    ox, oy, oz, dx, dy, dz, one,
+                ],
+                axis=0,
+            )  # (16, BLOCK)
+            out = jax.lax.dot_general(
+                phi,
+                w_scr[0:16, :],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (BLOCK, 4*SLOTS), cols component-major [det|udet|vdet|tdet]
+            det = out[:, 0 * slots : 1 * slots]
+            ud = out[:, 1 * slots : 2 * slots]
+            vd = out[:, 2 * slots : 3 * slots]
+            td = out[:, 3 * slots : 4 * slots]
+            nz = jnp.abs(det) > 1e-30
+            inv = 1.0 / jnp.where(nz, det, 1e-30)
+            u = ud * inv
+            v = vd * inv
+            t = td * inv
+            ok = (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & nz & (t > tmin)
+            t = jnp.where(ok, t, jnp.inf)
+            # manual argmin: first slot achieving the row min
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            t_min = jnp.min(t, axis=1, keepdims=True)
+            o_slot[0, j, :] = jnp.min(
+                jnp.where(t <= t_min, lane, jnp.int32(slots)), axis=1
+            ).astype(jnp.int32)
+            o_t[0, j, :] = t_min[:, 0]
+
+        @pl.when(tid >= sentinel)
+        def _(j=j):
+            o_t[0, j, :] = jnp.full((BLOCK,), jnp.inf, jnp.float32)
+            o_slot[0, j, :] = jnp.zeros((BLOCK,), jnp.int32)
 
 
 @functools.partial(
@@ -102,8 +135,7 @@ def _kernel(slots: int, sentinel: int, tmin: float, precision,
 def block_mt_pallas(
     block_tid: jnp.ndarray,  # (NB,) i32: each block's treelet id
     prx: tuple,  # 6 ray component arrays (NB, BLOCK) f32
-    geom_w: jnp.ndarray,  # (Tp*16, 4*SLOTS) f32 MT coefficient tiles
-    cen: jnp.ndarray,  # (Tp, 128) f32, treelet centroid in cols 0-2
+    geom_w: jnp.ndarray,  # (Tp, 24, 4*SLOTS) f32 MT tiles + centroid row
     slots: int,
     tp: int,
     tmin: float = 0.0,
@@ -112,50 +144,48 @@ def block_mt_pallas(
 ):
     """Returns (t (NB, BLOCK) f32 with INF misses, slot (NB, BLOCK) i32).
 
-    ``precision``: "highest" = full f32 through the MXU (6-pass);
-    "high" = bf16x3 (~2x faster, ~21-bit mantissa -- sub-MC-noise hit-t
-    error on centroid-local coords; RT_MT_PRECISION selects it for A/B)."""
+    ``precision``: "highest" = full f32 through the MXU. (bf16x3 "high"
+    was tried for a 2x matmul saving -- Mosaic's dot lowering only
+    supports DEFAULT/HIGHEST, so it is mapped to HIGHEST.)"""
     nb = block_tid.shape[0]
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "highest"
-        else jax.lax.Precision.HIGH
-    )
-    vma = vma_union(block_tid, *prx, geom_w, cen)
+    pad = (-nb) % SUB
+    if pad:
+        block_tid = jnp.concatenate(
+            [block_tid, jnp.full((pad,), tp + 1, block_tid.dtype)]
+        )
+        prx = tuple(
+            jnp.concatenate([c, jnp.zeros((pad, BLOCK), c.dtype)]) for c in prx
+        )
+    nbp = nb + pad
+    vma = vma_union(block_tid, *prx, geom_w)
     block_tid = cast_to_vma(block_tid, vma)
     geom_w = cast_to_vma(geom_w, vma)
-    cen = cast_to_vma(cen, vma)
-    prx = tuple(cast_to_vma(c, vma) for c in prx)
+    prx = tuple(cast_to_vma(c.reshape(nbp // SUB, SUB, BLOCK), vma) for c in prx)
     sentinel = tp  # any tid >= Tp is a sentinel/filler-overflow block
+    prec = jax.lax.Precision.HIGHEST
 
     ray_spec = pl.BlockSpec(
-        (1, BLOCK), lambda i, tids: (i, 0), memory_space=pltpu.VMEM
+        (1, SUB, BLOCK), lambda i, tids: (i, 0, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[
-            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-            pl.BlockSpec(
-                (16, 4 * slots),
-                lambda i, tids: (jnp.minimum(tids[i], tp - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 128),
-                lambda i, tids: (jnp.minimum(tids[i], tp - 1), 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        grid=(nbp // SUB,),
+        in_specs=[ray_spec] * 6
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],  # geometry stays in HBM
         out_specs=[ray_spec, ray_spec],
+        scratch_shapes=[
+            pltpu.VMEM((W_ROWS, 4 * slots), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
     )
     t, slot = pl.pallas_call(
         functools.partial(_kernel, slots, sentinel, tmin, prec),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32, vma=vma),
-            jax.ShapeDtypeStruct((nb, BLOCK), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((nbp // SUB, SUB, BLOCK), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nbp // SUB, SUB, BLOCK), jnp.int32, vma=vma),
         ],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(block_tid, *prx, geom_w, cen)
-    return t, slot
+    )(block_tid, *prx, geom_w)
+    return t.reshape(nbp, BLOCK)[:nb], slot.reshape(nbp, BLOCK)[:nb]

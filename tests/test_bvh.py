@@ -183,7 +183,7 @@ def test_bvh_big_scene(scenes_dir):
 def test_grouped_matches_dense_soup(rng, monkeypatch):
     """The sorted-pair grouped backend (RT_TRAVERSE=grouped) agrees with
     the dense sweep, including the straggler tiers (rays crossing more
-    than K_MAIN treelets)."""
+    than K1 treelets -- the virtual tier and overflow loop)."""
     monkeypatch.setenv("RT_TRAVERSE", "grouped")
     desc = _soup_desc(rng, n=2100)
     arrays, statics = build_scene_arrays(desc)

@@ -17,12 +17,6 @@ import pytest
 
 from raytracing_course_2024_tpu.runtime.render import Renderer
 from raytracing_course_2024_tpu.scene import parse_text_scene
-from raytracing_course_2024_tpu.scene.types import (
-    CameraDesc,
-    PrimitiveDesc,
-    RenderSettings,
-    SceneDesc,
-)
 
 from oracle_tracer import Oracle
 
@@ -115,85 +109,13 @@ def test_oracle_cornell_gltf(scenes_dir):
     _compare(desc, oracle_spp=24, prod_spp=384)
 
 
-def _icosphere_desc(subdiv=1):
-    """Smooth-normal triangle mesh (subdivided icosahedron) + emitter --
-    the smooth-shading-normal interpolation path on a curved surface."""
-    t = (1.0 + np.sqrt(5.0)) / 2.0
-    verts = np.array(
-        [
-            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
-            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
-            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
-        ],
-        np.float64,
-    )
-    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
-    faces = [
-        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
-        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
-        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
-        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
-    ]
-    for _ in range(subdiv):
-        new_faces = []
-        vlist = list(verts)
-        cache = {}
-
-        def mid(i, j):
-            k = (min(i, j), max(i, j))
-            if k not in cache:
-                m = vlist[i] + vlist[j]
-                m /= np.linalg.norm(m)
-                cache[k] = len(vlist)
-                vlist.append(m)
-            return cache[k]
-
-        for (a, b, c) in faces:
-            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
-            new_faces += [
-                (a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)
-            ]
-        faces = new_faces
-        verts = np.asarray(vlist)
-
-    prims = []
-    for (a, b, c) in faces:
-        prims.append(
-            PrimitiveDesc(
-                ptype=0,
-                p0=verts[a].copy(), p1=verts[b].copy(), p2=verts[c].copy(),
-                sn0=verts[a].copy(), sn1=verts[b].copy(), sn2=verts[c].copy(),
-                color=np.array([0.7, 0.5, 0.6]),
-                metallic=0.3, roughness=0.4, mkind=3,
-            )
-        )
-    prims.append(
-        PrimitiveDesc(
-            ptype=0,
-            p0=np.array([-2.0, 2.5, -1.0]),
-            p1=np.array([2.0, 2.5, -1.0]),
-            p2=np.array([0.0, 2.5, 2.0]),
-            color=np.zeros(3),
-            emission=np.array([10.0, 9.0, 8.0]),
-            mkind=3,
-        )
-    )
-    cam = CameraDesc(
-        position=np.array([0.0, 0.4, 3.2]),
-        right=np.array([1.0, 0.0, 0.0]),
-        up=np.array([0.0, 1.0, 0.0]),
-        forward=np.array([0.0, 0.0, -1.0]),
-        fov_x=1.0,
-        fov_y=2.0 * np.arctan(np.tan(0.5) * 8.0 / 12.0),
-    )
-    settings = RenderSettings(
-        width=12, height=8, samples=16, ray_depth=4,
-        bg_color=(0.15, 0.2, 0.3), camera=cam,
-    )
-    return SceneDesc(settings=settings, primitives=prims, planes=[])
-
-
 def test_oracle_smooth_mesh():
     """Smooth interpolated shading normals on a curved PBR mesh -- the
     n_geom/n_shade split where acceptance-rule bugs would hide."""
-    _compare(_icosphere_desc(1), oracle_spp=24, prod_spp=384)
+    from meshes import icosphere, mesh_scene_desc
+
+    verts, faces = icosphere(1)
+    desc = mesh_scene_desc(
+        verts, faces, vnormals=verts, width=12, height=8, samples=16,
+    )
+    _compare(desc, oracle_spp=24, prod_spp=384)

@@ -55,7 +55,7 @@ def test_block_mt_pallas_matches_xla():
 
     t_pl, slot_pl = block_mt_pallas(
         jnp.asarray(block_tid), tuple(prx), jnp.asarray(ga.geom_w),
-        jnp.asarray(ga.cen), slots, tp, 0.0, interpret=True,
+        slots, tp, 0.0, interpret=True,
     )
     t_pl = np.asarray(t_pl)
     slot_pl = np.asarray(slot_pl)
