@@ -256,18 +256,17 @@ def trace_paths(
     # fused-bounce megakernel (ops/pallas_bounce.py): the whole bounce in
     # one Pallas kernel for small all-triangle non-delta scenes (the
     # headline family). Same estimator, TPU hardware-PRNG stream (like the
-    # sampler kernel). OPT-IN via RT_MEGAKERNEL=1: it compiles (13 s) and
-    # measures +7% on the headline with image parity at the MC-noise
-    # scale, but repeated invocation intermittently faults the device
-    # (FAILED_PRECONDITION) on the axon tunnel -- not production-safe
-    # until root-caused (TODO.md).
+    # sampler kernel); +7% measured on the headline with image parity at
+    # the MC-noise scale. DEFAULT ON since round 3: the round-2 transient
+    # device faults did not reproduce in a 120-invocation soak
+    # (ROUNDLOG_r03.md); RT_MEGAKERNEL=0 opts out.
     import os as _os
 
     use_mega = (
         cfg.backend == "dense"
         and not cfg.faithful
         and cfg.sampler in ("auto", "pallas")
-        and _os.environ.get("RT_MEGAKERNEL") == "1"
+        and _os.environ.get("RT_MEGAKERNEL", "1") != "0"
         # off-TPU the kernel would run in interpret mode, whose hardware-PRNG
         # stand-in is degenerate -> statistically wrong renders (the sampler
         # path's 'auto' falls back to XLA for the same reason). Interpret
@@ -328,10 +327,16 @@ def render_pixels(
 ):
     """Average radiance over ``samples`` jittered rays per pixel.
 
-    Returns (B, 3) f32 (plus total rays traced, scalar, when ``with_stats``).
+    Returns (3, B) f32 SoA (plus total rays traced, scalar, when
+    ``with_stats``). Channel-major matters twice on this hardware: a
+    (B, 3) stack lane-pads the minor dim 43x on device, and the padded
+    buffer then crawls through the pipe relay on fetch -- measured as a
+    3.7x headline collapse when the bench moved to the production
+    renderer. Hosts transpose after the fetch (cheap numpy copy).
+
     Sample loop = lax.scan (sequential, accumulating), mirroring the
-    reference's per-pixel sample loop (src/rendering.rs:52-62) but vectorized
-    over the whole pixel batch.
+    reference's per-pixel sample loop (src/rendering.rs:52-62) but
+    vectorized over the whole pixel batch.
     """
 
     def one_sample(carry, s):
@@ -347,7 +352,7 @@ def render_pixels(
         one_sample, (Vec3(zeros, zeros, zeros), jnp.sum(zeros)), jnp.arange(samples)
     )
     avg = total * (1.0 / samples)
-    out = jnp.stack([avg.x, avg.y, avg.z], axis=-1)
+    out = jnp.stack([avg.x, avg.y, avg.z], axis=0)
     if with_stats:
         return out, nrays
     return out

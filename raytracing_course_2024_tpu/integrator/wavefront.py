@@ -230,10 +230,19 @@ def render_wavefront(
     def cond(st: _WfState):
         return (st.counter < total_work) | jnp.any(st.alive)
 
+    # refill threshold: traversal rounds price the FULL batch (static
+    # shapes), so mean occupancy ~= 1 - frac/2 directly scales e2e
+    # throughput; the cost of refilling more often is the cumsum + scatter
+    # + camera math (~5 ms/262k). Default 1/8 dead (~94% mean occupancy).
+    import os as _os
+
+    frac = float(_os.environ.get("RT_WF_REFILL_FRAC", "0.125"))
+    thresh = max(int(b * frac), 1)
+
     def body(st: _WfState):
         n_dead = jnp.sum((~st.alive).astype(jnp.int32))
         st = jax.lax.cond(
-            n_dead * 2 >= b, refill, lambda s: s, st
+            n_dead >= thresh, refill, lambda s: s, st
         )
         return bounce(st)
 
@@ -271,5 +280,7 @@ def render_wavefront(
     img_b = st.img_b.at[idx].add(st.rad.z, mode="drop")
 
     inv = 1.0 / samples
-    img = jnp.stack([img_r * inv, img_g * inv, img_b * inv], axis=-1)
+    # channel-major (3, n_pix): a minor-3 stack lane-pads 43x on device
+    # and crawls through the pipe relay (integrator/path.py render_pixels)
+    img = jnp.stack([img_r * inv, img_g * inv, img_b * inv], axis=0)
     return img, st.nverts

@@ -70,8 +70,13 @@ from .scene_intersect import SceneHit, _fold_in_planes
 from .vec import Vec3
 
 BLOCK = 128  # pairs per single-treelet block (= one geometry tile fetch)
-K1 = 8  # hit-bits popped per ray in the main tier (RT_K1 overrides)
-K2 = 16  # bits popped per compacted virtual ray per tier-2 round (RT_K2)
+# Tier sizing (RT_K1/RT_K2 override): K1 covers the median crossing count,
+# the virtual tier must cover the straggler POPULATION (cap2 >= frac>K1,
+# measured ~35% at K1=8 / ~10% at K1=12 on practice7_3) and K2 the p99.9
+# leftover -- otherwise the overflow loop fires every batch (measured
+# +40 ms/bounce when cap2 was B//4 < the straggler count).
+K1 = 12  # hit-bits popped per ray in the main tier
+K2 = 20  # bits popped per compacted virtual ray per tier-2 round
 CAP2_DIV = 4  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
 
 
@@ -173,42 +178,55 @@ def _slab_lo_hi(ro: Vec3, rd: Vec3, aabb):
 
 
 def _cull_bits(ro: Vec3, rd: Vec3, ga: "GroupedArrays", tmin):
-    """(words (B, W) u32 crossing bits, counts (Tp,) i32 rays per treelet)."""
+    """(words (W, B) u32 crossing bits, counts (Tp,) i32 rays per treelet).
+
+    Words are stored WORD-MAJOR: a (B, W) layout lane-pads the tiny W
+    minor dim to 128 and every pop pass pays 7x (measured: the pop stage
+    cost 21 ms/bounce in (B, W) vs ~2 ms word-major)."""
     b = ro.x.shape[0]
     tp = ga.aabb.shape[1]
     w = tp // 32
     lo, hi = _slab_lo_hi(ro, rd, ga.aabb)
     hit = (lo <= hi) & (hi > tmin)  # (B, Tp)
-    hitb = hit.reshape(b, w, 32).astype(jnp.uint32)
-    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    words = jnp.sum(hitb * shifts, axis=2, dtype=jnp.uint32)  # (B, W)
     counts = jnp.sum(hit, axis=0, dtype=jnp.int32)  # (Tp,)
-    return words, counts
+    return _pack_words(hit), counts
+
+
+def _pack_words(hit):
+    """(B, Tp) bool -> (W, B) u32 bit words."""
+    b, tp = hit.shape
+    hitb = hit.reshape(b, tp // 32, 32).astype(jnp.uint32)
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(hitb * shifts, axis=2, dtype=jnp.uint32).T
 
 
 def _count_rows(m, tp):
-    """Per-treelet popcount over rays: (Tp,) i32 from (B, W) words."""
-    cols = []
-    for j in range(32):
-        cols.append(jnp.sum((m >> jnp.uint32(j)) & 1, axis=0, dtype=jnp.int32))
-    return jnp.stack(cols, axis=1).reshape(tp)  # (W,32) -> (Tp,)
+    """Per-treelet popcount over rays: (Tp,) i32 from (W, B) words."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (m[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1)
+    return jnp.sum(bits, axis=2, dtype=jnp.int32).reshape(tp)  # (W*32,)
 
 
 # ---------------------------------------------------------------------------
-# stage 2: pop set bits (word ops only -- no (B, Tp) ordering passes)
+# stage 2: pop set bits (word-major (B,)-row ops only)
 # ---------------------------------------------------------------------------
 
 
 def _pop_lowest(m):
-    """Pop each ray's lowest set bit: (tid (B,) i32 | -1, m') -- pure
-    word-parallel ops: first nonzero word, x & -x, f32-exponent bit index
-    (exact: the isolated bit is a power of two)."""
-    nz = m != 0
-    wi = jnp.argmax(nz, axis=1).astype(jnp.int32)  # first nonzero word
-    lane = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    sel = lane == wi[:, None]
-    word = jnp.sum(jnp.where(sel, m, jnp.uint32(0)), axis=1, dtype=jnp.uint32)
-    low = word & (jnp.uint32(0) - word)
+    """Pop each ray's lowest set bit: (tid (B,) i32 | -1, m' (W, B)).
+
+    Shallow parallel form (a word-ordered sequential scan compiled
+    pathologically -- a ~W*k-deep dependency chain): per word x & -x
+    isolates its lowest bit, a masked-min reduce picks the first nonempty
+    word, and the f32 exponent recovers the bit index (exact: the isolated
+    bit is a power of two)."""
+    w = m.shape[0]
+    low_w = m & (jnp.uint32(0) - m)  # (W, B)
+    has_w = m != jnp.uint32(0)
+    iw = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
+    wsel = jnp.min(jnp.where(has_w, iw, w), axis=0)  # (B,) first word
+    sel = iw == wsel[None, :]
+    low = jnp.sum(jnp.where(sel, low_w, jnp.uint32(0)), axis=0, dtype=jnp.uint32)
     e = (
         jax.lax.shift_right_logical(
             jax.lax.bitcast_convert_type(low.astype(jnp.float32), jnp.int32),
@@ -216,14 +234,13 @@ def _pop_lowest(m):
         )
         - 127
     )
-    has = word != jnp.uint32(0)
-    tid = jnp.where(has, wi * 32 + e, -1)
-    m2 = m ^ jnp.where(sel & has[:, None], low[:, None], jnp.uint32(0))
+    tid = jnp.where(wsel < w, wsel * 32 + e, -1)
+    m2 = m ^ jnp.where(sel, low_w, jnp.uint32(0))
     return tid, m2
 
 
 def _pop_k(m, k: int):
-    """First k set bits per ray: (tids (k, B) i32 | -1, m')."""
+    """First k set bits per ray: (tids (k, B) i32 | -1, m' (W, B))."""
     tids = []
     for _ in range(k):
         tid, m = _pop_lowest(m)
@@ -383,95 +400,92 @@ def nearest_hit_grouped(
     # 2a. main tier: first K1 crossings per ray
     tid_k1, m = _pop_k(words, k1)
 
-    # 2b. virtual tier: compact rays with leftovers, pop K2 more
-    strag = jnp.any(m != 0, axis=1)
-    idx2 = jnp.nonzero(strag, size=cap2, fill_value=b)[0]
-    safe2 = jnp.minimum(idx2, b - 1)
-    live2 = idx2 < b
-    sub_m = jnp.where(live2[:, None], jnp.take(m, safe2, axis=0), jnp.uint32(0))
-    tid_k2, sub_m = _pop_k(sub_m, k2)
-    # write remaining bits back for the overflow loop; straggler rows that
-    # did not fit cap2 keep all their bits untouched
-    m = m.at[idx2].set(sub_m, mode="drop")
-
-    # pairs emitted into this sweep = full - whatever remains unpopped
-    counts = full_counts - _count_rows(m, tp)
-
-    # one combined sweep: K1 rows per real ray + K2 rows per virtual ray
+    # main sweep: K1 rows per ray (the sorted-pair fast path)
+    counts1 = full_counts - _count_rows(m, tp)
     comps = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z)
-    n_groups = b + cap2
-
-    def tier_rows(c):
-        main = jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1)
-        virt = jnp.broadcast_to(
-            jnp.where(live2, c[safe2], 0.0)[None, :], (k2, cap2)
-        ).reshape(-1)
-        return jnp.concatenate([main, virt])
-
-    tid_col = jnp.concatenate([tid_k1.reshape(-1), tid_k2.reshape(-1)])
     ray_main = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[None, :], (k1, b)
     ).reshape(-1)
-    ray_virt = jnp.broadcast_to(
-        (b + jnp.arange(cap2, dtype=jnp.int32))[None, :], (k2, cap2)
-    ).reshape(-1)
-    ray_col = jnp.concatenate([ray_main, ray_virt])
-    comp_cols = tuple(tier_rows(c) for c in comps)
-
-    t_flat, i_flat = _sweep(
-        ga, tid_col, ray_col, comp_cols, counts, slots, tp, tmin, n_groups
+    comp_main = tuple(
+        jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1) for c in comps
     )
-    # group-major layout: first k1*b rows = real rays (k1 each), next
-    # k2*cap2 = virtuals (k2 each), fill at the tail
+    t_flat, i_flat = _sweep(
+        ga, tid_k1.reshape(-1), ray_main, comp_main, counts1, slots, tp,
+        tmin, b,
+    )
     best_t, best_idx = _row_min(
         t_flat[: k1 * b].reshape(b, k1), i_flat[: k1 * b].reshape(b, k1)
     )
-    v_t, v_i = _row_min(
-        t_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
-        i_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
-    )
-    cur_t = best_t[safe2]
-    take = live2 & (v_t < cur_t)
-    best_t = best_t.at[idx2].set(jnp.where(take, v_t, cur_t), mode="drop")
-    best_idx = best_idx.at[idx2].set(
-        jnp.where(take, v_i, best_idx[safe2]), mode="drop"
-    )
 
-    # overflow loop: rays with more than K1 + K2 crossings (rare; sized
-    # from the measured p99) or a virtual tier wider than cap2
-    def any_left(state):
-        m, _, _ = state
-        return jnp.any(m != 0)
+    # prune unpopped crossings against the main pass's best hit: a treelet
+    # whose entry distance lies beyond best_t cannot improve the nearest
+    # hit (the reference's pruning rule, src/bvh.rs:258-262, applied as a
+    # single fused mask pass -- no per-ray ordering). On real bounce-ray
+    # mixes (light-aimed rays crossing the whole scene core) this kills
+    # most of the straggler-wave work the exhaustive design otherwise pays.
+    lo, hi = _slab_lo_hi(ro, rd, ga.aabb)
+    keep = (lo <= hi) & (hi > tmin) & (jnp.maximum(lo, 0.0) <= best_t[:, None])
+    m = m & _pack_words(keep)
 
-    def more(state):
-        m, best_t, best_idx = state
-        strag = jnp.any(m != 0, axis=1)
-        idx2 = jnp.nonzero(strag, size=cap2, fill_value=b)[0]
+    # straggler waves: rays with more than K1 crossings drain through
+    # compacted sweeps of up to cap2 "virtual rays" popping K2 bits per
+    # round. ``m`` stays READ-ONLY past this point -- a minor-axis scatter
+    # back into the (W, B) words lowered to a catastrophic (cap2, B)
+    # dynamic-update-slice -- so progress is tracked by a (B,) processed
+    # flag instead, and each wave's leftover bits live only in its
+    # compacted sub_m.
+    processed = ~jnp.any(m != 0, axis=0)
+
+    def waves_left(state):
+        processed, _, _ = state
+        return ~jnp.all(processed)
+
+    def wave(state):
+        processed, best_t, best_idx = state
+        idx2 = jnp.nonzero(~processed, size=cap2, fill_value=b)[0]
         safe2 = jnp.minimum(idx2, b - 1)
         live2 = idx2 < b
-        sub_m = jnp.where(
-            live2[:, None], jnp.take(m, safe2, axis=0), jnp.uint32(0)
-        )
-        before = _count_rows(sub_m, tp)
-        tid_k2, sub_m = _pop_k(sub_m, k2)
-        emitted = before - _count_rows(sub_m, tp)
-        m = m.at[idx2].set(sub_m, mode="drop")
+        sub_m0 = jnp.where(live2[None, :], m[:, safe2], jnp.uint32(0))
+        processed = processed.at[idx2].set(True, mode="drop")
+        ray_v = jnp.broadcast_to(
+            jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
+        ).reshape(-1)
         scomps = tuple(
             jnp.broadcast_to(
                 jnp.where(live2, c[safe2], 0.0)[None, :], (k2, cap2)
             ).reshape(-1)
             for c in comps
         )
-        ray_v = jnp.broadcast_to(
-            jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
-        ).reshape(-1)
-        t_flat, i_flat = _sweep(
-            ga, tid_k2.reshape(-1), ray_v, scomps, emitted, slots, tp, tmin,
-            cap2,
-        )
-        v_t, v_i = _row_min(
-            t_flat[: k2 * cap2].reshape(cap2, k2),
-            i_flat[: k2 * cap2].reshape(cap2, k2),
+
+        def rounds_left(st):
+            sub_m, _, _ = st
+            return jnp.any(sub_m != 0)
+
+        def one_round(st):
+            sub_m, w_t, w_i = st
+            before = _count_rows(sub_m, tp)
+            tid_k2, sub_m = _pop_k(sub_m, k2)
+            emitted = before - _count_rows(sub_m, tp)
+            t_flat, i_flat = _sweep(
+                ga, tid_k2.reshape(-1), ray_v, scomps, emitted, slots, tp,
+                tmin, cap2,
+            )
+            r_t, r_i = _row_min(
+                t_flat[: k2 * cap2].reshape(cap2, k2),
+                i_flat[: k2 * cap2].reshape(cap2, k2),
+            )
+            better = r_t < w_t
+            return (
+                sub_m,
+                jnp.where(better, r_t, w_t),
+                jnp.where(better, r_i, w_i),
+            )
+
+        zero2 = best_t[safe2] * 0.0  # vma-consistent inits under shard_map
+        _, v_t, v_i = jax.lax.while_loop(
+            rounds_left,
+            one_round,
+            (sub_m0, zero2 + INF, zero2.astype(jnp.int32)),
         )
         cur_t = best_t[safe2]
         take = live2 & (v_t < cur_t)
@@ -479,10 +493,10 @@ def nearest_hit_grouped(
         best_idx = best_idx.at[idx2].set(
             jnp.where(take, v_i, best_idx[safe2]), mode="drop"
         )
-        return m, best_t, best_idx
+        return processed, best_t, best_idx
 
-    _, best_t, best_idx = jax.lax.while_loop(
-        any_left, more, (m, best_t, best_idx)
+    processed, best_t, best_idx = jax.lax.while_loop(
+        waves_left, wave, (processed, best_t, best_idx)
     )
 
     out = SceneHit(

@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_intersect import cast_to_vma, vma_union
 
 BLOCK = 128  # pairs per block (ops/grouped.py BLOCK)
-SUB = 8  # pair-blocks per grid step (the (8, 128) ray tile)
+SUB = 16  # pair-blocks per grid step (a (16, 128) ray tile; bigger SUB
+# amortizes the ~0.5 us/grid-step overhead over more blocks)
 W_ROWS = 24  # 16 coefficient rows + centroid row (16) + pad to 8-multiple
 CEN_ROW = 16
 

@@ -120,7 +120,11 @@ def render_frame_sharded(
     mesh: Mesh,
     engine: str = "batch",
 ) -> jnp.ndarray:
-    """Full-frame mean radiance (height, width, 3), computed SPMD.
+    """Full-frame mean radiance, CHANNEL-MAJOR (3, height, width), SPMD.
+
+    Channel-major because a minor-3 image lane-pads 43x on device and
+    crawls through the pipe relay on fetch (integrator/path.py
+    render_pixels); hosts transpose after np.asarray.
 
     ``height`` need not divide the tile count: rows are padded up to a
     multiple of n_tiles for the iteration only, each padded row re-renders
@@ -161,17 +165,17 @@ def render_frame_sharded(
                 seed32, pix_base, samp_base, cam, arrays, statics, cfg,
                 width, height, n_pix, spp_per, lanes,
             )
-            img = jax.lax.pmean(img, axis_name="spp")
-            return img.reshape(rows_per, width, 3)
+            img = jax.lax.pmean(img, axis_name="spp")  # (3, n_pix)
+            return img.reshape(3, rows_per, width)
 
         fn = jax.shard_map(
             shard_fn_wf,
             mesh=mesh,
             in_specs=P(),
-            out_specs=P("tile", None, None),
+            out_specs=P(None, "tile", None),
             check_vma=True,
         )
-        return fn(key)[:height]
+        return fn(key)[:, :height]
 
     def shard_fn(key):
         ti = jax.lax.axis_index("tile")
@@ -187,18 +191,18 @@ def render_frame_sharded(
         py = jax.lax.pcast(py, ("spp",), to="varying")
         rad = render_pixels(
             k, px, py, cam, arrays, statics, cfg, width, height, spp_per
-        )  # (rows_per*width, 3), mean over local spp
+        )  # (3, rows_per*width), mean over local spp
         rad = jax.lax.pmean(rad, axis_name="spp")
-        return rad.reshape(rows_per, width, 3)
+        return rad.reshape(3, rows_per, width)
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=P(),
-        out_specs=P("tile", None, None),
+        out_specs=P(None, "tile", None),
         check_vma=True,
     )
-    return fn(key)[:height]
+    return fn(key)[:, :height]
 
 
 def compile_sharded_renderer(

@@ -112,8 +112,8 @@ class Renderer:
             nrays = jnp.float32(0)
             if with_stats:
                 out, nrays = out
-            if replicas > 1:
-                out = out.reshape(replicas, batch, 3).mean(axis=0)
+            if replicas > 1:  # out is channel-major (3, replicas*batch)
+                out = out.reshape(3, replicas, batch).mean(axis=1)
             return out, nrays
 
         self._render_batch = jax.jit(
@@ -147,6 +147,53 @@ class Renderer:
                     break
         return b, replicas
 
+    def render_frame_device(
+        self, seed: int = 0, samples: int | None = None, progress: bool = False
+    ):
+        """Render the frame, leaving radiance ON DEVICE.
+
+        Returns (device_outs, path_vertices): ``device_outs`` is a list of
+        per-batch (3, B) channel-major device arrays (one entry for the
+        wavefront engine). The path-vertex count is a host float, so the
+        call SYNCS on render completion -- wall-clock around this method
+        measures pure render throughput. The frame fetch is separate
+        (``render_radiance``) because on the axon pipe relay a
+        1280x720 f32 fetch costs ~0.3-0.5 s (~40 MB/s) -- an environment
+        artifact that would drown sub-second renders in the bench.
+        """
+        w, h = self.settings.width, self.settings.height
+        samples = samples or self.settings.samples
+        total = w * h
+
+        if self.engine == "wavefront":
+            seed32 = jnp.uint32((seed * 2654435761) & 0xFFFFFFFF)
+            lanes = min(self.batch_size, total * samples)
+            img_flat, nverts = self._render_wf(
+                seed32, self.arrays, samples, total, lanes
+            )  # (3, n_pix) channel-major
+            return [img_flat], float(nverts)
+
+        b, replicas = self._plan(total, samples)
+        num_batches = -(-total // b)
+        key = jax.random.PRNGKey(seed)
+        outs = []
+        nrays_total = 0.0
+        for i in range(num_batches):
+            out, nrays = self._render_batch(
+                jax.random.fold_in(key, i),
+                jnp.int32(i * b),
+                self.arrays,
+                samples,
+                b,
+                replicas,
+                True,
+            )
+            outs.append(out)
+            nrays_total += float(nrays)
+            if progress:
+                log.info("render progress: %d/%d batches", i + 1, num_batches)
+        return outs, nrays_total
+
     def render_radiance(
         self,
         seed: int = 0,
@@ -166,52 +213,13 @@ class Renderer:
         samples = samples or self.settings.samples
         total = w * h
 
-        if self.engine == "wavefront":
-            seed32 = jnp.uint32((seed * 2654435761) & 0xFFFFFFFF)
-            lanes = min(self.batch_size, total * samples)
-            t0 = time.perf_counter()
-            img_flat, nverts = self._render_wf(
-                seed32, self.arrays, samples, total, lanes
-            )
-            img = np.asarray(img_flat).reshape(h, w, 3)
-            if with_stats:
-                from .profiling import RenderStats
-
-                stats = RenderStats(
-                    width=w,
-                    height=h,
-                    samples=samples,
-                    ray_depth=self.settings.ray_depth,
-                    wall_seconds=time.perf_counter() - t0,
-                    path_vertices=float(nverts),
-                    primary_rays=total * samples,
-                )
-                return img, stats
-            return img
-
-        b, replicas = self._plan(total, samples)
-        num_batches = -(-total // b)
-        key = jax.random.PRNGKey(seed)
-
         t0 = time.perf_counter()
-        nrays_total = 0.0
-        flat = np.empty((num_batches * b, 3), np.float32)
-        for i in range(num_batches):
-            out, nrays = self._render_batch(
-                jax.random.fold_in(key, i),
-                jnp.int32(i * b),
-                self.arrays,
-                samples,
-                b,
-                replicas,
-                with_stats,
-            )
-            flat[i * b : (i + 1) * b] = np.asarray(out)
-            if with_stats:
-                nrays_total += float(nrays)
-            if progress:
-                log.info("render progress: %d/%d batches", i + 1, num_batches)
-        img = flat[:total].reshape(h, w, 3)
+        outs, nrays_total = self.render_frame_device(seed, samples, progress)
+        if len(outs) == 1:
+            flat = np.asarray(outs[0])
+        else:
+            flat = np.concatenate([np.asarray(o) for o in outs], axis=1)
+        img = np.ascontiguousarray(flat[:, :total].T).reshape(h, w, 3)
         if with_stats:
             from .profiling import RenderStats
 
@@ -315,8 +323,9 @@ def _render_scene_sharded(
     rad = render_frame_sharded(
         jax.random.PRNGKey(seed), arrays, statics, cam, cfg,
         s.width, s.height, s.samples, mesh, engine=engine,
-    )
-    img = np.asarray(color_to_u8(rad))
+    )  # channel-major (3, H, W); transpose host-side after the fetch
+    rad_hw3 = np.ascontiguousarray(np.moveaxis(np.asarray(rad), 0, -1))
+    img = np.asarray(color_to_u8(jnp.asarray(rad_hw3)))
     log.info(
         "sharded render (%s): %dx%d @ %d spp in %.2fs",
         dict(mesh.shape), s.width, s.height, s.samples,

@@ -83,9 +83,12 @@ def test_plumbing_interpret():
 
 
 @pytest.mark.skipif(
-    not os.environ.get("RT_TEST_MEGAKERNEL"),
-    reason="needs a real TPU; gated separately from RT_TEST_TPU while the "
-    "intermittent device fault under repeated invocation is unresolved",
+    not (
+        os.environ.get("RT_TEST_MEGAKERNEL") or os.environ.get("RT_TEST_TPU")
+    ),
+    reason="needs a real TPU (RT_TEST_TPU=1); the round-2 intermittent "
+    "device fault did not reproduce in a 120-invocation soak "
+    "(ROUNDLOG_r03.md), so this is now part of the standard TPU suite",
 )
 def test_megakernel_matches_xla_image_tpu():
     """Full-render statistical parity: megakernel vs XLA bounce at 64 spp
@@ -115,7 +118,7 @@ def test_megakernel_matches_xla_image_tpu():
         )
     finally:
         os.environ.pop("RT_MEGAKERNEL", None)
-    mm, xm = mega.mean(axis=0), xla.mean(axis=0)
+    mm, xm = mega.mean(axis=1), xla.mean(axis=1)  # (3, B) SoA
     rel = np.abs(mm - xm) / np.maximum(xm, 1e-9)
     assert (rel < 0.02).all(), (mm, xm)
     # spatial agreement: tile means within the MC-noise scale (an

@@ -13,6 +13,11 @@ import numpy as np
 from raytracing_course_2024_tpu.integrator.path import TraceConfig, render_pixels
 from raytracing_course_2024_tpu.ops.camera import camera_arrays
 from raytracing_course_2024_tpu.parallel import make_mesh, render_frame_sharded
+
+
+def hw3(x):
+    """(3, H, W) channel-major device output -> (H, W, 3) numpy."""
+    return np.ascontiguousarray(np.moveaxis(np.asarray(x), 0, -1))
 from raytracing_course_2024_tpu.scene import build_scene_arrays, parse_text_scene
 
 SCENE = """
@@ -61,10 +66,9 @@ def test_tile_by_spp_mesh_runs_and_matches():
     w, h, spp = 32, 16, 8
     mesh = make_mesh(4, 2)
     key = jax.random.PRNGKey(7)
-    img = render_frame_sharded(
+    img = hw3(render_frame_sharded(
         key, arrays, statics, cam, cfg, w, h, spp, mesh
-    )
-    img = np.asarray(img)
+    ))
     assert img.shape == (h, w, 3)
     assert np.isfinite(img).all()
     assert img.max() > 0.1  # scene is lit
@@ -75,7 +79,7 @@ def test_tile_by_spp_mesh_runs_and_matches():
         jax.random.PRNGKey(3), lin % w, lin // w, cam, arrays, statics, cfg,
         w, h, 64,
     )
-    ref = np.asarray(ref).reshape(h, w, 3)
+    ref = np.ascontiguousarray(np.asarray(ref).T).reshape(h, w, 3)
     # agree within loose MC tolerance on the mean
     assert abs(img.mean() - ref.mean()) < 0.12 * max(ref.mean(), 1e-6)
 
@@ -96,7 +100,7 @@ def test_tile_sharding_is_deterministic():
 def test_spp_only_mesh():
     desc, arrays, statics, cam, cfg = _setup()
     mesh = make_mesh(1, 8)
-    img = np.asarray(
+    img = hw3(
         render_frame_sharded(
             jax.random.PRNGKey(5), arrays, statics, cam, cfg, 32, 16, 8, mesh
         )
@@ -135,7 +139,7 @@ def test_sharded_with_pallas_dense_kernel(scenes_dir):
     cam = camera_arrays(desc.settings.camera)
     cfg = TraceConfig(ray_depth=3, bg_color=(0, 0, 0))
     mesh = make_mesh(4, 2)
-    img = np.asarray(
+    img = hw3(
         render_frame_sharded(
             jax.random.PRNGKey(1), arrays, statics, cam, cfg, 32, 16, 4, mesh
         )
@@ -152,7 +156,7 @@ def test_nondivisible_height_geometry():
     desc, arrays, statics, cam, cfg = _setup()
     w, h = 32, 15
     mesh = make_mesh(4, 2)
-    img = np.asarray(
+    img = hw3(
         render_frame_sharded(
             jax.random.PRNGKey(2), arrays, statics, cam, cfg, w, h, 16, mesh
         )
@@ -161,12 +165,12 @@ def test_nondivisible_height_geometry():
 
     # single-device reference of the same 15-row frame at high spp
     lin = jnp.arange(w * h, dtype=jnp.int32)
-    ref = np.asarray(
+    ref = np.ascontiguousarray(np.asarray(
         render_pixels(
             jax.random.PRNGKey(9), lin % w, lin // w, cam, arrays, statics,
             cfg, w, h, 64,
         )
-    ).reshape(h, w, 3)
+    ).T).reshape(h, w, 3)
     # per-row means must line up (a squeezed FOV shifts scene features by
     # a full row near the frame edges -- far beyond MC noise on row means)
     row_img = img.mean(axis=(1, 2))
@@ -224,13 +228,13 @@ def test_wavefront_sharded_mesh_invariance():
     fp accumulation order."""
     desc, arrays, statics, cam, cfg = _setup()
     s = desc.settings
-    img_a = np.asarray(
+    img_a = hw3(
         render_frame_sharded(
             jax.random.PRNGKey(0), arrays, statics, cam, cfg,
             s.width, s.height, 8, make_mesh(8, 1), engine="wavefront",
         )
     )
-    img_b = np.asarray(
+    img_b = hw3(
         render_frame_sharded(
             jax.random.PRNGKey(0), arrays, statics, cam, cfg,
             s.width, s.height, 8, make_mesh(4, 2), engine="wavefront",
