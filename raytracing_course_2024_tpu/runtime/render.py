@@ -79,11 +79,15 @@ class Renderer:
             faithful=faithful,
         )
 
-        # all index math inside the jitted program: each extra host-side op
-        # fragment is a separately (remotely) compiled executable on the
-        # axon tunnel with a ~1.5 s first-use cost
-        def _render_batch(key, offset, arrays, samples: int, batch: int,
-                          replicas: int, with_stats: bool):
+        # ALL index math AND key derivation inside the jitted program: each
+        # extra host-side op fragment is a separately (remotely) compiled
+        # executable on the axon tunnel (~1.5 s first use), and every extra
+        # host->device round trip per frame costs ~5-10 ms of relay latency
+        # -- visible on the 0.05-s practice3 frames. ``seed``/``batch_i``
+        # arrive as plain host scalars in the one execute call.
+        def _render_batch(seed, batch_i, offset, arrays, samples: int,
+                          batch: int, replicas: int, with_stats: bool):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), batch_i)
             # small frames underutilize the 1M-lane sweet spot: replicate
             # each pixel `replicas` times across the lane axis, give each
             # replica samples/replicas of the spp budget with a distinct
@@ -166,7 +170,7 @@ class Renderer:
         total = w * h
 
         if self.engine == "wavefront":
-            seed32 = jnp.uint32((seed * 2654435761) & 0xFFFFFFFF)
+            seed32 = np.uint32((seed * 2654435761) & 0xFFFFFFFF)
             lanes = min(self.batch_size, total * samples)
             img_flat, nverts = self._render_wf(
                 seed32, self.arrays, samples, total, lanes
@@ -175,13 +179,13 @@ class Renderer:
 
         b, replicas = self._plan(total, samples)
         num_batches = -(-total // b)
-        key = jax.random.PRNGKey(seed)
         outs = []
         nrays_total = 0.0
         for i in range(num_batches):
             out, nrays = self._render_batch(
-                jax.random.fold_in(key, i),
-                jnp.int32(i * b),
+                np.uint32(seed & 0xFFFFFFFF),
+                np.int32(i),
+                np.int32(i * b),
                 self.arrays,
                 samples,
                 b,
