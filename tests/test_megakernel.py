@@ -126,3 +126,35 @@ def test_megakernel_matches_xla_image_tpu():
     tm = mega.reshape(h // 18, 18, w // 20, 20, 3).mean(axis=(1, 3))
     tx = xla.reshape(h // 18, 18, w // 20, 20, 3).mean(axis=(1, 3))
     assert np.abs(tm - tx).max() / max(xm.max(), 1e-9) < 0.15
+
+
+def test_no_light_scene_eligible_and_runs():
+    """A bg-lit all-triangle scene (zero emissive prims) must stay
+    megakernel-eligible and run: the light table is padded to >= 1 row at
+    build time (scene/build.py), so the kernel's light operand never has a
+    zero-sized dim (ADVICE r2 #1 verified-by-test)."""
+    from raytracing_course_2024_tpu.scene.types import PrimitiveDesc
+    from meshes import icosphere, mesh_scene_desc
+
+    verts, faces = icosphere(0)
+    desc = mesh_scene_desc(
+        verts, faces, width=8, height=8, samples=2, with_light=False,
+        bg=(0.7, 0.8, 0.9),
+    )
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(jnp.asarray, arrays)
+    assert statics.num_lights == 0
+    assert megakernel_eligible(statics, arrays)
+    assert arrays.light_packed.shape[1] >= 1  # padded, never zero-sized
+    b = 64
+    idx = jnp.arange(b, dtype=jnp.int32)
+    cam = camera_arrays(desc.settings.camera)
+    ro, rd = generate_rays(cam, idx % 8, idx // 8, 8, 8, jax.random.PRNGKey(0))
+    ones = jnp.ones((b,))
+    zeros = jnp.zeros((b,))
+    ro2, rd2, thr, rad, alive2 = bounce_pallas(
+        jax.random.PRNGKey(1), ro, rd, Vec3(ones, ones, ones),
+        Vec3(zeros, zeros, zeros), ones > 0.0, arrays, statics,
+        tuple(desc.settings.bg_color),
+    )
+    assert np.isfinite(np.asarray(rad.x)).all()
