@@ -64,6 +64,18 @@ class TraceConfig(NamedTuple):
     # (full mixture pdf on K*B candidate lanes); the image delta of the fast
     # default is test-pinned (test_faithful_acceptance_deviation_bounded).
     faithful: bool = False
+    # Russian roulette from bounce RR_START on: survive with p =
+    # clamp(max throughput channel, RR_MIN_P, 1), divide throughput by p.
+    # Unbiased; OFF by default for reference parity (the reference HEAD
+    # has none -- fixed depth, src/rendering.rs:93-95). RT_RR=1 /
+    # Renderer(russian_roulette=True) opts in; with the regeneration
+    # wavefront, killed lanes immediately refill with fresh work, so RR
+    # converts low-throughput tail bounces into useful new paths.
+    rr: bool = False
+
+
+RR_START = 2  # first bounce index eligible for roulette
+RR_MIN_P = 0.05
 
 
 def _nearest(ro, rd, scn, statics, cfg: TraceConfig):
@@ -110,11 +122,14 @@ def _finish_bounce(
     ok: jnp.ndarray,
     u_diel: jnp.ndarray,
     cfg: TraceConfig,
+    u_rr: jnp.ndarray | None = None,
+    rr_mask: jnp.ndarray | bool = False,
 ) -> _PathState:
     """Post-sampling half of a bounce: BRDF weight, delta-material
     continuation rules, state update. Shared by the batch scan (``_bounce``)
     and the regeneration wavefront (integrator/wavefront.py); ``u_diel`` is
-    the dielectric reflect/refract split draw."""
+    the dielectric reflect/refract split draw, ``u_rr``/``rr_mask`` the
+    roulette draw and per-lane eligibility when ``cfg.rr``."""
     alive = state.alive
     v = -state.rd  # rays are kept unit-length
     n = surf.n_geom
@@ -162,6 +177,19 @@ def _finish_bounce(
     new_alive = alive & (is_delta | ok)
     zero = Vec3.full(0.0, like=weight)
     throughput = state.throughput.mul(where3(new_alive, weight, zero))
+
+    if cfg.rr and u_rr is not None:
+        p = jnp.clip(
+            jnp.maximum(jnp.maximum(throughput.x, throughput.y), throughput.z),
+            RR_MIN_P,
+            1.0,
+        )
+        roll = rr_mask & new_alive
+        survive = u_rr < p
+        new_alive = new_alive & (survive | ~roll)
+        inv_p = jnp.where(roll & survive, 1.0 / p, 1.0)
+        throughput = throughput * inv_p
+
     return _PathState(
         ro=next_origin,
         rd=next_dir,
@@ -177,6 +205,7 @@ def _bounce(
     scn: SceneArrays,
     statics: SceneStatics,
     cfg: TraceConfig,
+    bounce_i=None,
 ) -> _PathState:
     state, surf, _hit = _collect_hit(state, scn, statics, cfg)
     alive = state.alive
@@ -223,7 +252,14 @@ def _bounce(
     )
     from ..ops.sampling import uniform_rows
 
-    u_diel = uniform_rows(k_diel, 1, state.ro.x.shape[0])[0]
+    b = state.ro.x.shape[0]
+    if cfg.rr and bounce_i is not None:
+        u = uniform_rows(k_diel, 2, b)
+        rr_mask = jnp.broadcast_to(bounce_i >= RR_START, (b,))
+        return _finish_bounce(
+            state, surf, l_s, pdf, ok, u[0], cfg, u_rr=u[1], rr_mask=rr_mask
+        )
+    u_diel = uniform_rows(k_diel, 1, b)[0]
     return _finish_bounce(state, surf, l_s, pdf, ok, u_diel, cfg)
 
 
@@ -265,6 +301,7 @@ def trace_paths(
     use_mega = (
         cfg.backend == "dense"
         and not cfg.faithful
+        and not cfg.rr  # roulette runs in the XLA bounce only
         and cfg.sampler in ("auto", "pallas")
         and _os.environ.get("RT_MEGAKERNEL", "1") != "0"
         # off-TPU the kernel would run in interpret mode, whose hardware-PRNG
@@ -297,7 +334,10 @@ def trace_paths(
             def step(carry, i):
                 st, cnt = carry
                 cnt = cnt + st.alive.astype(jnp.float32)
-                st = _bounce(st, jax.random.fold_in(key, i), scn, statics, cfg)
+                st = _bounce(
+                    st, jax.random.fold_in(key, i), scn, statics, cfg,
+                    bounce_i=i,
+                )
                 return (st, cnt), None
 
         (state, rays), _ = jax.lax.scan(

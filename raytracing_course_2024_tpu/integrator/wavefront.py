@@ -59,6 +59,7 @@ from .path import TraceConfig, _nearest, _finish_bounce, _PathState
 # (7*8 = 56 max) then the dielectric split draw at offset 63
 _CTR_BOUNCE0 = 2
 _CTR_STRIDE = 64
+_CTR_RR = 62
 _CTR_DIEL = 63
 
 # a dead lane's parked ray: far outside every scene, pointing away along
@@ -110,7 +111,7 @@ def render_wavefront(
     total_work = n_pix * samples
     b = lanes
     k = cfg.max_tries
-    assert 7 * k < _CTR_DIEL, "max_tries exceeds the RNG counter block"
+    assert 7 * k < _CTR_RR, "max_tries exceeds the RNG counter block"
     frame_pix = width * height
 
     def wid_of(work):
@@ -208,10 +209,18 @@ def render_wavefront(
             uniforms=u7,
         )
         u_diel = uniform_ctr(keyl, base + _CTR_DIEL)
+        rr_kw = {}
+        if cfg.rr:
+            from .path import RR_START
+
+            rr_kw = dict(
+                u_rr=uniform_ctr(keyl, base + _CTR_RR),
+                rr_mask=st.depth >= RR_START,
+            )
         ps = _finish_bounce(
             _PathState(ro=st.ro, rd=st.rd, throughput=st.thr, radiance=rad,
                        alive=cont),
-            surf, l_s, pdf, ok, u_diel, cfg,
+            surf, l_s, pdf, ok, u_diel, cfg, **rr_kw,
         )
         # park dead rays far away so traversal culls them with finite math
         park_o = Vec3(zero + _PARK_ORIGIN, zero + _PARK_ORIGIN,

@@ -42,6 +42,7 @@ class Renderer:
         max_tries: int = 4,
         faithful: bool = False,
         engine: str | None = None,
+        russian_roulette: bool | None = None,
     ):
         import os
 
@@ -71,12 +72,15 @@ class Renderer:
         assert engine in ("batch", "wavefront"), engine
         self.engine = engine
         self.cam = camera_arrays(self.settings.camera)
+        if russian_roulette is None:
+            russian_roulette = os.environ.get("RT_RR") == "1"
         self.cfg = TraceConfig(
             ray_depth=self.settings.ray_depth,
             bg_color=tuple(self.settings.bg_color),
             max_tries=max_tries,
             backend=backend,
             faithful=faithful,
+            rr=russian_roulette,
         )
 
         # ALL index math AND key derivation inside the jitted program: each
