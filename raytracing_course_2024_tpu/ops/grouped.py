@@ -70,13 +70,14 @@ from .scene_intersect import SceneHit, _fold_in_planes
 from .vec import Vec3
 
 BLOCK = 128  # pairs per single-treelet block (= one geometry tile fetch)
-# Tier sizing (RT_K1/RT_K2 override): K1 covers the median crossing count,
-# the virtual tier must cover the straggler POPULATION (cap2 >= frac>K1,
-# measured ~35% at K1=8 / ~10% at K1=12 on practice7_3) and K2 the p99.9
-# leftover -- otherwise the overflow loop fires every batch (measured
-# +40 ms/bounce when cap2 was B//4 < the straggler count).
-K1 = 12  # hit-bits popped per ray in the main tier
-K2 = 20  # bits popped per compacted virtual ray per tier-2 round
+# Tier sizing (RT_K1/RT_K2 override). True bounce-ray crossing counts on
+# practice7_3 after the padding-column fix: mean 3.3 / p95 10 / p99 ~14
+# (the pre-fix "mean 10.5 / p95 31" was 68% empty padding treelets). K1
+# covers ~p85, the compacted virtual tier (capacity B // CAP2_DIV) the
+# rest; K2 covers the p99.9 leftover so the overflow loop almost never
+# runs a second round.
+K1 = 6  # hit-bits popped per ray in the main tier
+K2 = 12  # bits popped per compacted virtual ray per tier-2 round
 CAP2_DIV = 4  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
 
 
@@ -99,7 +100,9 @@ class GroupedArrays(NamedTuple):
     (``geom_rows.shape[1] // 9``) so the tuple stays a pure array pytree."""
 
     aabb: "jnp.ndarray"  # (6, Tp) f32 [minx,miny,minz,maxx,maxy,maxz];
-    # padding treelets carry an inverted box (min > max): never hit.
+    # padding treelets carry NaN bounds: never hit (NaN poisons every
+    # slab comparison; an inverted min>max box would NOT work -- the
+    # slab min/max re-sorts the planes back into a valid box).
     geom_rows: "jnp.ndarray"  # (Tp, 9 * SLOTS) f32: per-treelet packed
     # triangle planes [p0x|p0y|p0z|p1x|...|p2z], each (SLOTS,); one row
     # gather per block in the XLA fallback test.
@@ -121,9 +124,14 @@ def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
             f"grouped traversal supports <= 2048 treelets (got {tp}); "
             "raise TREELET_SLOTS or KD_CELL"
         )
-    aabb = np.zeros((6, tp), np.float32)
-    aabb[:3, :] = 1.0  # min > max on padding: slab test can never pass
-    aabb[3:, :] = -1.0
+    # Padding columns are NaN: the slab test's per-axis min/max SORTS the
+    # two plane distances, so an "inverted" min>max box degenerates to its
+    # normalized box, NOT to never-hit -- a round-3 bug that made the
+    # padding columns behave like a unit box at the origin and inflated
+    # measured crossing counts from mean ~3.3 to ~10.4 on practice7_3
+    # (68% of all block tests were empty padding treelets). NaN poisons
+    # lo/hi so every comparison is False on every padding column.
+    aabb = np.full((6, tp), np.nan, np.float32)
     aabb[:, :t] = np.asarray(tl_aabb, np.float32)
     geom = np.zeros((tp, 9 * slots), np.float32)
     geom[:t] = np.asarray(blocks, np.float32).transpose(1, 0, 2).reshape(t, 9 * slots)
@@ -417,16 +425,6 @@ def nearest_hit_grouped(
         t_flat[: k1 * b].reshape(b, k1), i_flat[: k1 * b].reshape(b, k1)
     )
 
-    # prune unpopped crossings against the main pass's best hit: a treelet
-    # whose entry distance lies beyond best_t cannot improve the nearest
-    # hit (the reference's pruning rule, src/bvh.rs:258-262, applied as a
-    # single fused mask pass -- no per-ray ordering). On real bounce-ray
-    # mixes (light-aimed rays crossing the whole scene core) this kills
-    # most of the straggler-wave work the exhaustive design otherwise pays.
-    lo, hi = _slab_lo_hi(ro, rd, ga.aabb)
-    keep = (lo <= hi) & (hi > tmin) & (jnp.maximum(lo, 0.0) <= best_t[:, None])
-    m = m & _pack_words(keep)
-
     # straggler waves: rays with more than K1 crossings drain through
     # compacted sweeps of up to cap2 "virtual rays" popping K2 bits per
     # round. ``m`` stays READ-ONLY past this point -- a minor-axis scatter
@@ -447,14 +445,30 @@ def nearest_hit_grouped(
         live2 = idx2 < b
         sub_m0 = jnp.where(live2[None, :], m[:, safe2], jnp.uint32(0))
         processed = processed.at[idx2].set(True, mode="drop")
+        sub_c = tuple(jnp.where(live2, c[safe2], 0.0) for c in comps)
+        # prune the compacted rays' unpopped crossings against the main
+        # pass's best hit: a treelet whose entry distance lies beyond
+        # best_t cannot improve the nearest hit (the reference's pruning
+        # rule, src/bvh.rs:258-262). Done HERE, on the (cap2, Tp) compacted
+        # rows, instead of a full (B, Tp) pass -- only the >K1-crossing
+        # tail (~5-10% of rays at K1=6 on practice7_3) ever needs it.
+        lo2, hi2 = _slab_lo_hi(
+            Vec3(sub_c[0], sub_c[1], sub_c[2]),
+            Vec3(sub_c[3], sub_c[4], sub_c[5]),
+            ga.aabb,
+        )
+        keep2 = (
+            (lo2 <= hi2)
+            & (hi2 > tmin)
+            & (jnp.maximum(lo2, 0.0) <= best_t[safe2][:, None])
+        )
+        sub_m0 = sub_m0 & _pack_words(keep2)
         ray_v = jnp.broadcast_to(
             jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
         ).reshape(-1)
         scomps = tuple(
-            jnp.broadcast_to(
-                jnp.where(live2, c[safe2], 0.0)[None, :], (k2, cap2)
-            ).reshape(-1)
-            for c in comps
+            jnp.broadcast_to(c[None, :], (k2, cap2)).reshape(-1)
+            for c in sub_c
         )
 
         def rounds_left(st):
@@ -481,7 +495,11 @@ def nearest_hit_grouped(
                 jnp.where(better, r_i, w_i),
             )
 
-        zero2 = best_t[safe2] * 0.0  # vma-consistent inits under shard_map
+        # vma-consistent inits under shard_map; the isfinite guard matters:
+        # best_t is INF for rays with no hit in the main tier, and INF*0
+        # is NaN, which would poison every (v_t < cur_t) take below
+        bts = best_t[safe2]
+        zero2 = jnp.where(jnp.isfinite(bts), bts, 0.0) * 0.0
         _, v_t, v_i = jax.lax.while_loop(
             rounds_left,
             one_round,
