@@ -81,6 +81,120 @@ class _WfState(NamedTuple):
     img_b: jnp.ndarray
     counter: jnp.ndarray  # scalar i32: next unassigned work id
     nverts: jnp.ndarray  # scalar f32: path vertices traced (bench metric)
+    rnd: jnp.ndarray  # scalar i32: bounce-round index (megakernel RNG fold)
+
+
+def _use_megakernel(cfg: TraceConfig, scn, statics) -> bool:
+    """Fused-bounce megakernel eligibility for the wavefront engine -- the
+    same gate as the batch scan (integrator/path.py trace_paths) so the two
+    engines ship the same kernel on the same scene class. The megakernel
+    draws from the TPU hardware PRNG keyed per (bounce round, block), NOT
+    from the per-work-item counter stream, so on this path the rendered
+    image is invariant to (seed, work range) but not to the lane count --
+    the regeneration schedule feeds the kernel's stream. Statistically the
+    estimator is unchanged (any seeded stream is parity; the reference has
+    per-row Xoshiro, src/rendering.rs:50-51)."""
+    import os
+
+    if not (
+        cfg.backend == "dense"
+        and not cfg.faithful
+        and not cfg.rr
+        and cfg.sampler in ("auto", "pallas")
+        and os.environ.get("RT_MEGAKERNEL", "1") != "0"
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    from ..ops.pallas_bounce import megakernel_eligible
+
+    return megakernel_eligible(statics, scn)
+
+
+def _make_bounce_core(cfg: TraceConfig, scn: SceneArrays, statics: SceneStatics):
+    """One full bounce shared by both wavefront engines (counter refill and
+    pixel-sticky). Returns ``core(rng, depth, ro, rd, thr, rad, alive)`` ->
+    (ro', rd', thr', rad', alive') where ``alive'`` already applies the
+    per-lane final-depth death rule (the reference's depth-0 black return,
+    src/rendering.rs:93-95) and dead lanes' rays are parked.
+
+    ``rng`` is a per-lane u32 work key (XLA counter-RNG path) or a jax PRNG
+    key (fused megakernel path, TPU hardware PRNG) depending on
+    ``_use_megakernel``."""
+    use_mega = _use_megakernel(cfg, scn, statics)
+    k = cfg.max_tries
+
+    def park(alive, ro2, rd2):
+        zero = ro2.x * 0.0
+        park_o = Vec3(zero + _PARK_ORIGIN, zero + _PARK_ORIGIN,
+                      zero + _PARK_ORIGIN)
+        park_d = Vec3(zero + _PARK_DIR, zero + _PARK_DIR, zero + _PARK_DIR)
+        return where3(alive, ro2, park_o), where3(alive, rd2, park_d)
+
+    if use_mega:
+
+        def core(key, depth, ro, rd, thr, rad, alive):
+            from ..ops.pallas_bounce import bounce_pallas
+
+            ro2, rd2, thr2, rad2, alv = bounce_pallas(
+                key, ro, rd, thr, rad, alive, scn, statics,
+                cfg.bg_color, cfg.max_tries,
+            )
+            cont = alv & (depth < cfg.ray_depth - 1)
+            ro2, rd2 = park(cont, ro2, rd2)
+            return ro2, rd2, thr2, rad2, cont
+
+        return core, True
+
+    def core(keyl, depth, ro, rd, thr, rad, alive):
+        hit = _nearest(ro, rd, scn, statics, cfg)
+        surf = surface_detail(ro, rd, hit, scn, statics)
+
+        zero = ro.x * 0.0
+        bg = Vec3(zero + cfg.bg_color[0], zero + cfg.bg_color[1],
+                  zero + cfg.bg_color[2])
+        miss = alive & ~hit.valid
+        on_hit = alive & hit.valid
+        add = where3(
+            miss,
+            thr.mul(bg),
+            where3(on_hit, thr.mul(surf.emission), Vec3(zero, zero, zero)),
+        )
+        rad = rad + add
+
+        cont = on_hit & (depth < cfg.ray_depth - 1)
+        is_delta = (surf.mkind == MIRROR) | (surf.mkind == DIELECTRIC)
+        need = cont & ~is_delta
+
+        base = _CTR_BOUNCE0 + depth * _CTR_STRIDE  # (B,) per-lane
+        u7 = [
+            jnp.concatenate(
+                [uniform_ctr(keyl, base + r * k + c) for c in range(k)]
+            )
+            for r in range(7)
+        ]
+        l_s, pdf, ok = sample_mixture(
+            None, surf.point, surf.n_geom, surf.n_shade, -rd,
+            surf.roughness, scn, statics, need=need, max_tries=k,
+            faithful=cfg.faithful, uniforms=u7,
+        )
+        u_diel = uniform_ctr(keyl, base + _CTR_DIEL)
+        rr_kw = {}
+        if cfg.rr:
+            from .path import RR_START
+
+            rr_kw = dict(
+                u_rr=uniform_ctr(keyl, base + _CTR_RR),
+                rr_mask=depth >= RR_START,
+            )
+        ps = _finish_bounce(
+            _PathState(ro=ro, rd=rd, throughput=thr, radiance=rad,
+                       alive=cont),
+            surf, l_s, pdf, ok, u_diel, cfg, **rr_kw,
+        )
+        ro2, rd2 = park(ps.alive, ps.ro, ps.rd)
+        return ro2, rd2, ps.throughput, ps.radiance, ps.alive
+
+    return core, False
 
 
 def render_wavefront(
@@ -159,81 +273,29 @@ def render_wavefront(
             counter=counter,
         )
 
+    core, use_mega = _make_bounce_core(cfg, scn, statics)
+    if use_mega:
+        base_key = jax.random.PRNGKey(jnp.asarray(seed32, jnp.uint32))
+
     # --- one bounce round at (near-)full occupancy ------------------------
     def bounce(st: _WfState) -> _WfState:
-        alive = st.alive
-        nverts = st.nverts + jnp.sum(alive.astype(jnp.float32))
-        hit = _nearest(st.ro, st.rd, scn, statics, cfg)
-        surf = surface_detail(st.ro, st.rd, hit, scn, statics)
-
-        zero = st.ro.x * 0.0
-        bg = Vec3(zero + cfg.bg_color[0], zero + cfg.bg_color[1],
-                  zero + cfg.bg_color[2])
-        miss = alive & ~hit.valid
-        on_hit = alive & hit.valid
-        add = where3(
-            miss,
-            st.thr.mul(bg),
-            where3(on_hit, st.thr.mul(surf.emission), Vec3(zero, zero, zero)),
+        nverts = st.nverts + jnp.sum(st.alive.astype(jnp.float32))
+        if use_mega:
+            rng = jax.random.fold_in(base_key, st.rnd)
+        else:
+            rng = work_key(seed32, wid_of(jnp.maximum(st.work, 0)))
+        ro2, rd2, thr, rad, alv = core(
+            rng, st.depth, st.ro, st.rd, st.thr, st.rad, st.alive
         )
-        rad = st.rad + add
-
-        # lanes at their final depth collect emission only and die -- the
-        # reference's depth-0 black return means their next sample would
-        # never contribute (src/rendering.rs:93-95)
-        cont = on_hit & (st.depth < cfg.ray_depth - 1)
-        is_delta = (surf.mkind == MIRROR) | (surf.mkind == DIELECTRIC)
-        need = cont & ~is_delta
-
-        wid = wid_of(jnp.maximum(st.work, 0))
-        keyl = work_key(seed32, wid)
-        base = _CTR_BOUNCE0 + st.depth * _CTR_STRIDE  # (B,) per-lane
-        u7 = [
-            jnp.concatenate(
-                [uniform_ctr(keyl, base + r * k + c) for c in range(k)]
-            )
-            for r in range(7)
-        ]
-        l_s, pdf, ok = sample_mixture(
-            None,
-            surf.point,
-            surf.n_geom,
-            surf.n_shade,
-            -st.rd,
-            surf.roughness,
-            scn,
-            statics,
-            need=need,
-            max_tries=k,
-            faithful=cfg.faithful,
-            uniforms=u7,
-        )
-        u_diel = uniform_ctr(keyl, base + _CTR_DIEL)
-        rr_kw = {}
-        if cfg.rr:
-            from .path import RR_START
-
-            rr_kw = dict(
-                u_rr=uniform_ctr(keyl, base + _CTR_RR),
-                rr_mask=st.depth >= RR_START,
-            )
-        ps = _finish_bounce(
-            _PathState(ro=st.ro, rd=st.rd, throughput=st.thr, radiance=rad,
-                       alive=cont),
-            surf, l_s, pdf, ok, u_diel, cfg, **rr_kw,
-        )
-        # park dead rays far away so traversal culls them with finite math
-        park_o = Vec3(zero + _PARK_ORIGIN, zero + _PARK_ORIGIN,
-                      zero + _PARK_ORIGIN)
-        park_d = Vec3(zero + _PARK_DIR, zero + _PARK_DIR, zero + _PARK_DIR)
         return st._replace(
-            alive=ps.alive,
+            alive=alv,
             depth=st.depth + 1,
-            ro=where3(ps.alive, ps.ro, park_o),
-            rd=where3(ps.alive, ps.rd, park_d),
-            thr=ps.throughput,
-            rad=ps.radiance,
+            ro=ro2,
+            rd=rd2,
+            thr=thr,
+            rad=rad,
             nverts=nverts,
+            rnd=st.rnd + 1,
         )
 
     def cond(st: _WfState):
@@ -277,6 +339,7 @@ def render_wavefront(
         img_b=img0,
         counter=i0,
         nverts=f0,
+        rnd=i0,
     )
     st = jax.lax.while_loop(cond, body, init)
 
@@ -293,3 +356,241 @@ def render_wavefront(
     # and crawls through the pipe relay (integrator/path.py render_pixels)
     img = jnp.stack([img_r * inv, img_g * inv, img_b * inv], axis=0)
     return img, st.nverts
+
+
+def render_wavefront_sticky(
+    seed32: jnp.ndarray,
+    pix_base: jnp.ndarray,
+    samp_base: jnp.ndarray,
+    cam: CameraArrays,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    cfg: TraceConfig,
+    width: int,
+    height: int,
+    n_pix: int,
+    samples: int,
+    lanes: int,
+):
+    """Pixel-sticky regeneration wavefront: lane ``l`` owns pixels
+    ``{l, l + lanes, l + 2*lanes, ...}`` and walks each owned pixel's
+    ``samples`` paths sequentially, accumulating radiance IN-LANE.
+
+    The counter engine above pays a (B,)-wide cumsum (rank assignment) plus
+    a full-width scatter-add (radiance flush) at every refill -- measured
+    ~20 ms per refill at 1M lanes, which swamps the ~3 ms fused-megakernel
+    bounce round (git history, round 3). Sticky assignment removes ALL
+    coordination: a dead lane restarts its next sample the very next round
+    with pure per-lane arithmetic (no rank, no scatter -- the per-pixel
+    accumulator lives at a fixed lane-indexed slot), so occupancy stays
+    high at zero refill cost. The tradeoff is tail imbalance: lanes finish
+    their sample budgets at slightly different times (path-length variance
+    over ``samples`` paths), idling late lanes -- small for spp >= 4 by CLT.
+
+    Same work-item RNG convention as the counter engine (global
+    (pixel, sample) keys), so XLA-path images are invariant to the lane
+    count and identical across tilings; the megakernel path uses the TPU
+    hardware PRNG (see _use_megakernel). Returns ((3, n_pix) mean radiance,
+    path-vertex count) exactly like ``render_wavefront``.
+    """
+    b = lanes
+    core, use_mega = _make_bounce_core(cfg, scn, statics)
+    if use_mega:
+        base_key = jax.random.PRNGKey(jnp.asarray(seed32, jnp.uint32))
+    # fully-fused path: restart + camera jitter + bounce in ONE Pallas
+    # kernel per round (ops/pallas_bounce._persistent_kernel) when each
+    # lane owns at most one pixel; per-round XLA work is two scalar sums
+    fused = use_mega and n_pix <= b
+    if fused:
+        from ..ops.pallas_bounce import BLK as _BLK
+
+        # one pixel per lane, no idle lanes beyond block padding: at 1M
+        # caller lanes vs 921k pixels, 12% of lanes would own nothing and
+        # idle every round (measured 71% -> 81% occupancy from this sizing)
+        b = -(-n_pix // _BLK) * _BLK
+        return _sticky_fused(
+            base_key, seed32, pix_base, cam, scn, statics, cfg, width,
+            height, n_pix, samples, b,
+        )
+    jmax = max(-(-n_pix // b), 1)  # owned pixels per lane (ceil)
+    frame_pix = width * height
+
+    # state: (alive, k_started, depth, ro, rd, thr, rad, acc, nverts, rnd)
+    # acc = 3-tuple of jmax-tuples of (B,) per-owned-pixel radiance sums
+    lane = jnp.arange(b, dtype=jnp.int32)
+    n_owned = jnp.zeros((b,), jnp.int32)
+    for j in range(jmax):
+        n_owned = n_owned + (lane + j * b < n_pix).astype(jnp.int32)
+    kmax = n_owned * samples
+
+    def path_coords(k):
+        """Current path index (k-1 for started paths) -> (pixl, samp)."""
+        cur = jnp.maximum(k - 1, 0)
+        j = cur // samples
+        samp = cur % samples
+        pixl = jnp.minimum(lane + j * b, n_pix - 1)
+        return j, pixl, samp
+
+    def wid_of(pixl, samp):
+        return (samp_base + samp) * frame_pix + (pix_base + pixl)
+
+    def restart(st):
+        """Flush dead lanes' finished paths, start their next sample."""
+        alive, k, depth, ro, rd, thr, rad, acc, nverts, rnd = st
+        dead = ~alive
+        flush = dead & (k > 0)
+        jf, _, _ = path_coords(k)
+        accx, accy, accz = acc
+        acc = (
+            tuple(
+                jnp.where(flush & (jf == j), accx[j] + rad.x, accx[j])
+                for j in range(jmax)
+            ),
+            tuple(
+                jnp.where(flush & (jf == j), accy[j] + rad.y, accy[j])
+                for j in range(jmax)
+            ),
+            tuple(
+                jnp.where(flush & (jf == j), accz[j] + rad.z, accz[j])
+                for j in range(jmax)
+            ),
+        )
+        zero = rad.x * 0.0
+        rad = where3(dead, Vec3(zero, zero, zero), rad)
+
+        take = dead & (k < kmax)
+        k = jnp.where(take, k + 1, k)
+        _, pixl, samp = path_coords(k)
+        pixg = pix_base + pixl
+        px = pixg % width
+        py = jnp.minimum(pixg // width, height - 1)
+        keyl = work_key(seed32, wid_of(pixl, samp))
+        u0 = uniform_ctr(keyl, 0)
+        u1 = uniform_ctr(keyl, 1)
+        ro_n, rd_n = generate_rays_u(cam, px, py, width, height, u0, u1)
+        one = zero + 1.0
+        return (
+            alive | take,
+            k,
+            jnp.where(take, 0, depth),
+            where3(take, ro_n, ro),
+            where3(take, rd_n, rd),
+            where3(take, Vec3(one, one, one), thr),
+            rad,
+            acc,
+            nverts,
+            rnd,
+        )
+
+    def body(st):
+        st = restart(st)
+        alive, k, depth, ro, rd, thr, rad, acc, nverts, rnd = st
+        nverts = nverts + jnp.sum(alive.astype(jnp.float32))
+        if use_mega:
+            rng = jax.random.fold_in(base_key, rnd)
+        else:
+            _, pixl, samp = path_coords(k)
+            rng = work_key(seed32, wid_of(pixl, samp))
+        ro2, rd2, thr2, rad2, alv = core(rng, depth, ro, rd, thr, rad, alive)
+        return (alv, k, depth + 1, ro2, rd2, thr2, rad2, acc, nverts,
+                rnd + 1)
+
+    def cond(st):
+        alive, k = st[0], st[1]
+        return jnp.any(alive) | jnp.any(k < kmax)
+
+    i0 = jnp.asarray(pix_base, jnp.int32) * 0
+    f0 = i0.astype(jnp.float32)
+    lane_i = jnp.zeros((b,), jnp.int32) + i0
+    lane_f = jnp.zeros((b,), jnp.float32) + f0
+    zeros3 = Vec3(lane_f, lane_f, lane_f)
+    acc0 = tuple(tuple(lane_f for _ in range(jmax)) for _ in range(3))
+    init = (
+        lane_i > 0,  # alive
+        lane_i,  # k
+        lane_i,  # depth
+        Vec3(lane_f + _PARK_ORIGIN, lane_f + _PARK_ORIGIN,
+             lane_f + _PARK_ORIGIN),
+        Vec3(lane_f + _PARK_DIR, lane_f + _PARK_DIR, lane_f + _PARK_DIR),
+        zeros3,
+        zeros3,
+        acc0,
+        f0,  # nverts
+        i0,  # rnd
+    )
+    st = jax.lax.while_loop(cond, body, init)
+    st = restart(st)  # final flush (loop exits with last paths unflushed)
+    _, _, _, _, _, _, _, acc, nverts, _ = st
+
+    inv = 1.0 / samples
+    accx, accy, accz = acc
+    img = jnp.stack(
+        [
+            jnp.concatenate(list(ch), axis=0)[:n_pix] * inv
+            for ch in (accx, accy, accz)
+        ],
+        axis=0,
+    )
+    return img, nverts
+
+
+def _sticky_fused(
+    base_key, seed32, pix_base, cam, scn, statics, cfg, width, height,
+    n_pix: int, samples: int, b: int,
+):
+    """Pixel-sticky wavefront, fully fused: one persistent Pallas round per
+    while_loop iteration (ops/pallas_bounce.persistent_round). Lane ``l``
+    owns tile pixel ``l`` (requires n_pix <= b); lanes beyond n_pix idle
+    with a zero sample budget."""
+    from ..ops.pallas_bounce import pack_camera_row, persistent_round
+
+    lane = jnp.arange(b, dtype=jnp.int32)
+    owned = lane < n_pix
+    kmax = jnp.where(owned, samples, 0).astype(jnp.float32)
+    pixg = pix_base + jnp.minimum(lane, n_pix - 1)
+    px = (pixg % width).astype(jnp.float32)
+    py = jnp.minimum(pixg // width, height - 1).astype(jnp.float32)
+    cam_row = pack_camera_row(cam)
+
+    i0 = jnp.asarray(pix_base, jnp.int32) * 0
+    f0 = i0.astype(jnp.float32)
+    lane_f = jnp.zeros((b,), jnp.float32) + f0
+    state = tuple(
+        [lane_f + _PARK_ORIGIN] * 3
+        + [lane_f + _PARK_DIR] * 3
+        + [lane_f] * 3  # throughput (set at restart)
+        + [lane_f] * 3  # path radiance
+        + [lane_f]  # alive
+        + [lane_f]  # k started
+        + [lane_f]  # depth
+        + [lane_f] * 3  # acc
+    )
+
+    def cond(carry):
+        _, _, more, _ = carry
+        return more > 0.0
+
+    def body(carry):
+        state, nverts, _, rnd = carry
+        key = jax.random.fold_in(base_key, rnd)
+        state, nv, more = persistent_round(
+            key, cam_row, px, py, kmax, state, scn, statics,
+            cfg.bg_color, cfg.max_tries, cfg.ray_depth, width, height,
+        )
+        return state, nverts + nv, more, rnd + 1
+
+    state, nverts, _, _ = jax.lax.while_loop(
+        cond, body, (state, f0, jnp.sum(kmax) + f0, i0)
+    )
+
+    # final flush: paths that completed in the last executed round still
+    # hold their radiance in-lane (earlier-flushed lanes carry rad == 0)
+    k = state[13]
+    started = k > 0.5
+    acc = [
+        jnp.where(started, state[15 + c] + state[9 + c], state[15 + c])
+        for c in range(3)
+    ]
+    inv = 1.0 / samples
+    img = jnp.stack([a[:n_pix] * inv for a in acc], axis=0)
+    return img, nverts

@@ -71,22 +71,12 @@ def build_attr_rows(scn: SceneArrays) -> jnp.ndarray:
     return jnp.stack(cols)
 
 
-def _kernel(statics: SceneStatics, n_prims: int, k_tries: int, bg: tuple,
-            seed_ref,
-            rox, roy, roz, rdx, rdy, rdz,
-            tx, ty, tz, radx, rady, radz, aliv,
-            tri, attr, lp_ref,
-            o_rox, o_roy, o_roz, o_rdx, o_rdy, o_rdz,
-            o_tx, o_ty, o_tz, o_radx, o_rady, o_radz, o_aliv):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
-    unif = make_unif(BLK)
-
-    ro = Vec3(rox[:], roy[:], roz[:])
-    rd = Vec3(rdx[:], rdy[:], rdz[:])
-    thr = Vec3(tx[:], ty[:], tz[:])
-    rad = Vec3(radx[:], rady[:], radz[:])
-    alive = aliv[:] > 0.5
-
+def _bounce_math(statics, n_prims, k_tries, bg, unif, tri, attr, lp_ref,
+                 ro, rd, thr, rad, alive):
+    """Sections 1-5 of the fused bounce (intersect -> detail -> emission ->
+    sampling -> BRDF weight), shared by the per-bounce megakernel and the
+    persistent sticky kernel. Returns (point, l, thr', rad', alive') with
+    ``alive'`` = survived-this-bounce (no depth rule applied)."""
     # --- 1. dense MT intersect, tracking (t, i, u, v) ----------------------
     best_t = jnp.full((BLK,), jnp.inf, jnp.float32)
     best_i = jnp.zeros((BLK,), jnp.int32)
@@ -182,6 +172,29 @@ def _kernel(statics: SceneStatics, n_prims: int, k_tries: int, bg: tuple,
     w = f * (cos_l / pdf)
     new_alive = alive & ok
     thr = thr.mul(where3(new_alive, w, zero3))
+    return point, l, thr, rad, new_alive
+
+
+def _kernel(statics: SceneStatics, n_prims: int, k_tries: int, bg: tuple,
+            seed_ref,
+            rox, roy, roz, rdx, rdy, rdz,
+            tx, ty, tz, radx, rady, radz, aliv,
+            tri, attr, lp_ref,
+            o_rox, o_roy, o_roz, o_rdx, o_rdy, o_rdz,
+            o_tx, o_ty, o_tz, o_radx, o_rady, o_radz, o_aliv):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+    unif = make_unif(BLK)
+
+    ro = Vec3(rox[:], roy[:], roz[:])
+    rd = Vec3(rdx[:], rdy[:], rdz[:])
+    thr = Vec3(tx[:], ty[:], tz[:])
+    rad = Vec3(radx[:], rady[:], radz[:])
+    alive = aliv[:] > 0.5
+
+    point, l, thr, rad, new_alive = _bounce_math(
+        statics, n_prims, k_tries, bg, unif, tri, attr, lp_ref,
+        ro, rd, thr, rad, alive,
+    )
 
     o_rox[:] = point.x
     o_roy[:] = point.y
@@ -232,6 +245,213 @@ def _run(seed, state13, tri, attr, lp, statics, k_tries, bg, interpret):
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, *state13, tri, attr, lp)
     return out
+
+
+# camera row layout for the persistent kernel: (1, 128) f32 VMEM
+_CAM_POS = 0  # 0-2 position
+_CAM_RIGHT = 3  # 3-5
+_CAM_UP = 6  # 6-8
+_CAM_FWD = 9  # 9-11
+_CAM_TANX = 12
+_CAM_TANY = 13
+
+
+def pack_camera_row(cam) -> jnp.ndarray:
+    """CameraArrays -> (1, 128) f32 operand row for the persistent kernel."""
+    row = jnp.zeros((128,), jnp.float32)
+    row = row.at[0:3].set(cam.position)
+    row = row.at[3:6].set(cam.right)
+    row = row.at[6:9].set(cam.up)
+    row = row.at[9:12].set(cam.forward)
+    row = row.at[12].set(cam.tan_half_fov_x)
+    row = row.at[13].set(cam.tan_half_fov_y)
+    return row[None, :]
+
+
+def _persistent_kernel(statics: SceneStatics, n_prims: int, k_tries: int,
+                       bg: tuple, ray_depth: int, width: int, height: int,
+                       seed_ref, cam_ref,
+                       px_ref, py_ref, kmax_ref,
+                       rox, roy, roz, rdx, rdy, rdz,
+                       tx, ty, tz, radx, rady, radz, aliv,
+                       k_ref, dep_ref, accx, accy, accz,
+                       tri, attr, lp_ref,
+                       o_rox, o_roy, o_roz, o_rdx, o_rdy, o_rdz,
+                       o_tx, o_ty, o_tz, o_radx, o_rady, o_radz, o_aliv,
+                       o_k, o_dep, o_accx, o_accy, o_accz,
+                       o_nv, o_more):
+    """One persistent-wavefront round: flush + restart + camera jitter +
+    the full fused bounce, entirely in VMEM (integrator/wavefront.py
+    render_wavefront_sticky's fused path). The XLA glue per round reduces
+    to two scalar reductions (path-vertex count, any-work-left flag).
+
+    Restart rule (pixel-sticky, jmax == 1): lane ``l`` owns pixel ``l`` of
+    the tile and walks its ``samples`` paths sequentially; ``k``/``kmax``
+    are paths started / sample budget per lane, and the per-pixel radiance
+    accumulator ``acc`` lives at the lane's own slot -- no scatter, no
+    cross-lane coordination (counters in f32: budgets are << 2^24)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+    unif = make_unif(BLK)
+
+    ro = Vec3(rox[:], roy[:], roz[:])
+    rd = Vec3(rdx[:], rdy[:], rdz[:])
+    thr = Vec3(tx[:], ty[:], tz[:])
+    rad = Vec3(radx[:], rady[:], radz[:])
+    alive = aliv[:] > 0.5
+    k = k_ref[:]
+    kmax = kmax_ref[:]
+    depth = dep_ref[:]
+
+    # --- flush finished paths into the per-lane pixel accumulator ----------
+    dead = ~alive
+    flush = dead & (k > 0.5)
+    ax = jnp.where(flush, accx[:] + rad.x, accx[:])
+    ay = jnp.where(flush, accy[:] + rad.y, accy[:])
+    az = jnp.where(flush, accz[:] + rad.z, accz[:])
+    zero = ro.x * 0.0
+    rad = where3(dead, Vec3(zero, zero, zero), rad)
+
+    # --- restart: next sample of the lane's pixel --------------------------
+    take = dead & (k < kmax)
+    k = jnp.where(take, k + 1.0, k)
+    depth = jnp.where(take, zero, depth)
+    one = zero + 1.0
+    thr = where3(take, Vec3(one, one, one), thr)
+    u0, u1 = unif(), unif()
+    sx = (2.0 * (px_ref[:] + u0) / width - 1.0) * cam_ref[0, _CAM_TANX]
+    sy = -(2.0 * (py_ref[:] + u1) / height - 1.0) * cam_ref[0, _CAM_TANY]
+
+    def axis(i):
+        return (
+            sx * cam_ref[0, _CAM_RIGHT + i]
+            + sy * cam_ref[0, _CAM_UP + i]
+            + cam_ref[0, _CAM_FWD + i]
+        )
+
+    d = Vec3(axis(0), axis(1), axis(2)).normalize()
+    o = Vec3(zero + cam_ref[0, _CAM_POS], zero + cam_ref[0, _CAM_POS + 1],
+             zero + cam_ref[0, _CAM_POS + 2])
+    ro = where3(take, o, ro)
+    rd = where3(take, d, rd)
+    alive = alive | take
+
+    # --- the fused bounce --------------------------------------------------
+    point, l, thr, rad, new_alive = _bounce_math(
+        statics, n_prims, k_tries, bg, unif, tri, attr, lp_ref,
+        ro, rd, thr, rad, alive,
+    )
+    # per-lane final depth: emission was collected above; the lane dies (the
+    # reference's depth-0 black return, src/rendering.rs:93-95)
+    cont = new_alive & (depth < float(ray_depth - 1))
+
+    o_rox[:] = point.x
+    o_roy[:] = point.y
+    o_roz[:] = point.z
+    o_rdx[:] = l.x
+    o_rdy[:] = l.y
+    o_rdz[:] = l.z
+    o_tx[:] = thr.x
+    o_ty[:] = thr.y
+    o_tz[:] = thr.z
+    o_radx[:] = rad.x
+    o_rady[:] = rad.y
+    o_radz[:] = rad.z
+    o_aliv[:] = cont.astype(jnp.float32)
+    o_k[:] = k
+    o_dep[:] = depth + 1.0
+    o_accx[:] = ax
+    o_accy[:] = ay
+    o_accz[:] = az
+    blk = pl.program_id(0)
+    o_nv[blk, 0] = jnp.sum(alive.astype(jnp.float32))
+    o_more[blk, 0] = jnp.sum((cont | (k < kmax)).astype(jnp.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "k_tries", "bg", "ray_depth", "width",
+                     "height"),
+)
+def _run_persistent(seed, cam_row, px, py, kmax, state18, tri, attr, lp,
+                    statics, k_tries, bg, ray_depth, width, height):
+    b = state18[0].shape[0]
+    vma = vma_union(seed, cam_row, px, py, kmax, *state18, tri, attr, lp)
+    seed = cast_to_vma(seed, vma)
+    cam_row = cast_to_vma(cam_row, vma)
+    px = cast_to_vma(px, vma)
+    py = cast_to_vma(py, vma)
+    kmax = cast_to_vma(kmax, vma)
+    tri = cast_to_vma(tri, vma)
+    attr = cast_to_vma(attr, vma)
+    lp = cast_to_vma(lp, vma)
+    state18 = tuple(cast_to_vma(c, vma) for c in state18)
+    n = tri.shape[1]
+    nb = b // BLK
+    grid = (nb,)
+    ray_spec = pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    blk_scalar = pl.BlockSpec((nb, 1), lambda i: (0, 0),
+                              memory_space=pltpu.SMEM)
+    in_specs = (
+        [
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        + [ray_spec] * 3  # px, py, kmax
+        + [ray_spec] * 18  # carried state
+        + [
+            pl.BlockSpec((9, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(attr.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lp.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    )
+    out = pl.pallas_call(
+        functools.partial(_persistent_kernel, statics, n, k_tries, bg,
+                          ray_depth, width, height),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ray_spec] * 18 + [blk_scalar] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((b,), jnp.float32, vma=vma)
+            for _ in range(18)
+        ]
+        + [jax.ShapeDtypeStruct((nb, 1), jnp.float32, vma=vma)] * 2,
+        # donate the 18 carried state buffers to their outputs
+        input_output_aliases={5 + i: i for i in range(18)},
+    )(seed, cam_row, px, py, kmax, *state18, tri, attr, lp)
+    return out
+
+
+def persistent_round(
+    key: jax.Array,
+    cam_row: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    kmax: jnp.ndarray,
+    state18: tuple,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    bg: tuple,
+    max_tries: int,
+    ray_depth: int,
+    width: int,
+    height: int,
+):
+    """One fused restart+bounce round over (B,) lanes (B % BLK == 0).
+
+    ``state18`` = (ro3, rd3, thr3, rad3, alive, k, depth, acc3) as flat f32
+    arrays. Returns (state18', nverts_this_round, work_left_count)."""
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = (kd[0] ^ (kd[1] * jnp.uint32(40503))).astype(jnp.int32)[None]
+    attr = build_attr_rows(scn)
+    out = _run_persistent(
+        seed, cam_row, px, py, kmax, tuple(state18), scn.tri_pack, attr,
+        scn.light_packed, statics, max_tries,
+        tuple(float(c) for c in bg), ray_depth, width, height,
+    )
+    return tuple(out[:18]), jnp.sum(out[18]), jnp.sum(out[19])
 
 
 def megakernel_eligible(statics: SceneStatics, scn: SceneArrays) -> bool:

@@ -62,14 +62,16 @@ class Renderer:
             batch_size = BVH_BATCH
         self.batch_size = batch_size
         # engine: "batch" = fixed lane batches through the depth scan;
-        # "wavefront" = persistent lanes with path regeneration
-        # (integrator/wavefront.py) -- the default for the BVH backend,
-        # where traversal cost is batch-shaped and dead lanes are pure
-        # waste. RT_ENGINE overrides for A/B.
+        # "wavefront" = persistent lanes with counter-coordinated path
+        # regeneration (integrator/wavefront.py) -- the default for the BVH
+        # backend, where traversal cost is batch-shaped and dead lanes are
+        # pure waste; "sticky" = pixel-sticky regeneration (same module):
+        # zero-coordination per-lane restarts, no cumsum/scatter refill
+        # cost. RT_ENGINE overrides for A/B.
         engine = engine or os.environ.get("RT_ENGINE")
         if engine is None:
             engine = "wavefront" if backend == "bvh" else "batch"
-        assert engine in ("batch", "wavefront"), engine
+        assert engine in ("batch", "wavefront", "sticky"), engine
         self.engine = engine
         self.cam = camera_arrays(self.settings.camera)
         if russian_roulette is None:
@@ -130,8 +132,13 @@ class Renderer:
         )
 
         def _render_wf(seed32, arrays, samples: int, n_pix: int, lanes: int):
-            from ..integrator.wavefront import render_wavefront
+            from ..integrator import wavefront as _wf
 
+            render_wavefront = (
+                _wf.render_wavefront_sticky
+                if self.engine == "sticky"
+                else _wf.render_wavefront
+            )
             return render_wavefront(
                 seed32, jnp.int32(0), jnp.int32(0), self.cam, arrays,
                 self.statics, self.cfg, self.settings.width,
@@ -173,7 +180,7 @@ class Renderer:
         samples = samples or self.settings.samples
         total = w * h
 
-        if self.engine == "wavefront":
+        if self.engine in ("wavefront", "sticky"):
             seed32 = np.uint32((seed * 2654435761) & 0xFFFFFFFF)
             lanes = min(self.batch_size, total * samples)
             img_flat, nverts = self._render_wf(

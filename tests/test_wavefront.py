@@ -226,3 +226,21 @@ def test_wavefront_bvh_backend():
     assert np.allclose(wf_bvh, wf_dense, rtol=1e-4, atol=1e-4), np.abs(
         wf_bvh - wf_dense
     ).max()
+
+
+def test_sticky_engine_matches_wavefront_exactly():
+    """The pixel-sticky engine (zero-coordination restarts) consumes the
+    SAME per-work-item streams as the counter engine, so on the XLA path
+    (CPU) their images agree bitwise per pixel -- scheduling really is
+    pure bookkeeping. Also pins lane-count invariance for sticky (lanes
+    below / above n_pix exercise the jmax > 1 multi-pixel-per-lane path)."""
+    desc = parse_text_scene(CORNELL)
+    wf = Renderer(desc, engine="wavefront").render_radiance(samples=16)
+    st = Renderer(desc, engine="sticky").render_radiance(samples=16)
+    assert np.allclose(wf, st, rtol=1e-5, atol=1e-6), np.abs(wf - st).max()
+    small = Renderer(desc, engine="sticky", batch_size=128).render_radiance(
+        samples=16
+    )
+    assert np.allclose(st, small, rtol=1e-4, atol=1e-5), np.abs(
+        st - small
+    ).max()
