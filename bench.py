@@ -110,13 +110,19 @@ def bench_one(scene: str, width: int, height: int, spp: int,
 
     if full_spp is not None and full_spp != spp:
         # measured (not implied) wall time of one full contract-spp frame,
-        # through the production renderer INCLUDING the host frame fetch
-        r.render_frame_device(seed=2000, samples=full_spp)  # compile
+        # through the production renderer to the finished u8 image (device
+        # tonemap + u8 fetch -- the reference's timed region also ends at
+        # the u8 buffer, src/rendering.rs:21-69)
+        r.render_u8(seed=2000, samples=full_spp)  # compile
         t0 = time.perf_counter()
-        _, st = r.render_radiance(seed=0, samples=full_spp, with_stats=True)
+        r.render_u8(seed=0, samples=full_spp)
         res["full_spp"] = full_spp
         res["wall_full_frame"] = time.perf_counter() - t0
-        res["mrays_full"] = st.path_vertices / res["wall_full_frame"] / 1e6
+        # exact verts were counted at measure-spp; expected counts scale
+        # linearly in spp (same pixels, independent samples)
+        res["mrays_full"] = (
+            rep_rays[mid] * (full_spp / spp) / res["wall_full_frame"] / 1e6
+        )
     return res
 
 

@@ -250,10 +250,21 @@ class Renderer:
             return img, stats
         return img
 
-    def render_u8(self, seed: int = 0) -> np.ndarray:
-        """Tonemapped (H, W, 3) u8 frame."""
-        radiance = self.render_radiance(seed)
-        return np.asarray(color_to_u8(jnp.asarray(radiance)))
+    def render_u8(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
+        """Tonemapped (H, W, 3) u8 frame.
+
+        Tonemap runs ON DEVICE and the fetch is u8: a 1280x720 f32 radiance
+        fetch costs ~0.3-0.5 s over the axon pipe relay (~40 MB/s); the u8
+        frame is 4x smaller. The reference's timed region ends at the u8
+        image buffer too (src/rendering.rs:21-69 + 228-262)."""
+        w, h = self.settings.width, self.settings.height
+        total = w * h
+        outs, _ = self.render_frame_device(seed, samples)
+        if not hasattr(self, "_tonemap_u8"):
+            self._tonemap_u8 = jax.jit(color_to_u8)
+        u8s = [np.asarray(self._tonemap_u8(o)) for o in outs]
+        flat = u8s[0] if len(u8s) == 1 else np.concatenate(u8s, axis=1)
+        return np.ascontiguousarray(flat[:, :total].T).reshape(h, w, 3)
 
 
 def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
