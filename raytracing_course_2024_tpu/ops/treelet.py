@@ -253,7 +253,9 @@ def nearest_hit_treelet(
     )
 
     # --- phase 1: up to R0 full-batch rounds (covers ~p95 of rays) ---
-    R0 = 3
+    import os as _os
+
+    R0 = int(_os.environ.get("RT_TREELET_R0", "3"))
 
     def p1_cond(carry):
         k, state = carry
@@ -267,48 +269,48 @@ def nearest_hit_treelet(
         p1_cond, p1_body, (jnp.int32(0), init)
     )
 
-    # --- phase 2: compact the straggler rays (long incoherent rays crossing
-    # many treelet boxes; p99 visits ~13 vs mean ~2.4) into a batch 8x
-    # smaller, so late rounds stop charging the whole wavefront ---
-    active = (nxt < max_key) & (nxt <= best_key_bound(best_t))
-    cap = max(b // 8, 1024)
-    n_active = jnp.sum(active)
+    # --- phase 2: straggler waves. Rays still active after R0 rounds (long
+    # incoherent rays crossing many treelet boxes; p99 visits ~13 vs mean
+    # ~2.4) drain through repeated cap-width compactions: each wave gathers
+    # up to ``cap`` stragglers, finishes them COMPLETELY in a compacted
+    # inner loop, and marks them done; leftover stragglers take the next
+    # wave. Late rounds therefore charge cap lanes, never the whole
+    # wavefront, at ANY straggler count (the round-3 single-compaction
+    # design fell back to full-width rounds when stragglers exceeded cap;
+    # cap/16 waves measured 44 vs 55 ms/262k-bounce on practice7_3
+    # bounce rays vs the old cap/8 single shot). ---
+    cap = max(b // int(_os.environ.get("RT_TREELET_CAPDIV", "16")), 1024)
 
-    def compacted(args):
-        nxt, best_t, best_idx = args
-        # fill index = b: out of range, dropped by the scatter below
-        idx = jnp.nonzero(active, size=cap, fill_value=b)[0]
+    def waves_left(st):
+        nxt, best_t, _ = st
+        return jnp.any((nxt < max_key) & (nxt <= best_key_bound(best_t)))
+
+    def wave(st):
+        nxt, best_t, best_idx = st
+        act = (nxt < max_key) & (nxt <= best_key_bound(best_t))
+        # fill index = b: out of range, dropped by the scatters below
+        idx = jnp.nonzero(act, size=cap, fill_value=b)[0]
         safe = jnp.minimum(idx, b - 1)
         sub_ro = Vec3(ro.x[safe], ro.y[safe], ro.z[safe])
         sub_rd = Vec3(rd.x[safe], rd.y[safe], rd.z[safe])
         sub_keys = keys[safe]  # (cap, T) row gather
         s_next, s_active_of, s_body = make_round(sub_keys, sub_ro, sub_rd)
+        live = idx < b
         sub_init = (
-            jnp.where(idx < b, nxt[safe], max_key),
+            jnp.where(live, nxt[safe], max_key),
             best_t[safe],
             best_idx[safe],
         )
         _, s_t, s_i = jax.lax.while_loop(
             lambda c: jnp.any(s_active_of(c)), s_body, sub_init
         )
-        best_t2 = best_t.at[idx].set(s_t, mode="drop")
-        best_idx2 = best_idx.at[idx].set(s_i, mode="drop")
-        return best_t2, best_idx2
+        best_t = best_t.at[idx].set(s_t, mode="drop")
+        best_idx = best_idx.at[idx].set(s_i, mode="drop")
+        nxt = nxt.at[idx].set(max_key, mode="drop")  # wave done
+        return nxt, best_t, best_idx
 
-    def full_batch(args):
-        nxt, best_t, best_idx = args
-        _, bt, bi = jax.lax.while_loop(
-            lambda c: jnp.any(active_of(c)), round_body, (nxt, best_t, best_idx)
-        )
-        return bt, bi
-
-    best_t, best_idx = jax.lax.cond(
-        n_active == 0,
-        lambda args: (args[1], args[2]),
-        lambda args: jax.lax.cond(
-            n_active <= cap, compacted, full_batch, args
-        ),
-        (nxt, best_t, best_idx),
+    _, best_t, best_idx = jax.lax.while_loop(
+        waves_left, wave, (nxt, best_t, best_idx)
     )
 
     out = SceneHit(

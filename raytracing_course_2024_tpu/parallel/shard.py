@@ -142,9 +142,14 @@ def render_frame_sharded(
     rows_per = -(-height // n_tiles)  # ceil: pad rows, never the camera
     spp_per = samples // n_spp
 
-    if engine == "wavefront":
-        from ..integrator.wavefront import render_wavefront
+    if engine in ("wavefront", "sticky"):
+        from ..integrator import wavefront as _wf
 
+        render_wavefront = (
+            _wf.render_wavefront_sticky
+            if engine == "sticky"
+            else _wf.render_wavefront
+        )
         n_pix = rows_per * width
         lanes = min(WAVEFRONT_LANE_CAP, n_pix * spp_per)
 

@@ -245,3 +245,26 @@ def test_wavefront_sharded_mesh_invariance():
     assert np.allclose(img_a, img_b, rtol=1e-4, atol=1e-5), np.abs(
         img_a - img_b
     ).max()
+
+
+def test_sticky_sharded_matches_wavefront():
+    """The pixel-sticky engine under shard_map: same global work-item RNG,
+    so a sticky sharded frame equals the counter-wavefront sharded frame
+    (bitwise per-sample; fp order may differ) on any mesh factoring."""
+    desc, arrays, statics, cam, cfg = _setup()
+    s = desc.settings
+    img_a = hw3(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            s.width, s.height, 8, make_mesh(4, 2), engine="wavefront",
+        )
+    )
+    img_b = hw3(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            s.width, s.height, 8, make_mesh(4, 2), engine="sticky",
+        )
+    )
+    assert np.allclose(img_a, img_b, rtol=1e-4, atol=1e-5), np.abs(
+        img_a - img_b
+    ).max()
