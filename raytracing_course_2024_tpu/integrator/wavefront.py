@@ -355,6 +355,8 @@ def render_wavefront(
     # channel-major (3, n_pix): a minor-3 stack lane-pads 43x on device
     # and crawls through the pipe relay (integrator/path.py render_pixels)
     img = jnp.stack([img_r * inv, img_g * inv, img_b * inv], axis=0)
+    if _os.environ.get("RT_WF_DEBUG"):  # probe-only: also report rounds
+        return img, st.nverts, st.rnd
     return img, st.nverts
 
 

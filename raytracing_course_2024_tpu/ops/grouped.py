@@ -70,15 +70,18 @@ from .scene_intersect import SceneHit, _fold_in_planes
 from .vec import Vec3
 
 BLOCK = 128  # pairs per single-treelet block (= one geometry tile fetch)
-# Tier sizing (RT_K1/RT_K2 override). True bounce-ray crossing counts on
-# practice7_3 after the padding-column fix: mean 3.3 / p95 10 / p99 ~14
-# (the pre-fix "mean 10.5 / p95 31" was 68% empty padding treelets). K1
-# covers ~p85, the compacted virtual tier (capacity B // CAP2_DIV) the
-# rest; K2 covers the p99.9 leftover so the overflow loop almost never
-# runs a second round.
-K1 = 6  # hit-bits popped per ray in the main tier
-K2 = 12  # bits popped per compacted virtual ray per tier-2 round
-CAP2_DIV = 4  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
+# Tier sizing (RT_K1/RT_K2/RT_CAP2_DIV override). True bounce-ray crossing
+# counts on practice7_3 after the padding-column fix: mean 2.4 / p85 3 /
+# p95 5 / p99 11-12 / max ~32 at BOTH SLOTS=128 and 256 (the pre-fix
+# "mean 10.5 / p95 31" was 68% empty padding treelets). K1 covers ~p92;
+# the compacted virtual tier (capacity B // CAP2_DIV) takes the tail and
+# K2 >= max-K1 crossings finishes every straggler in ONE round -- the old
+# oversized tier (K1=6/K2=12/div=4: 65k wave lanes for ~6k stragglers,
+# multi-round inner loop) measured 59.2 ms/262k-bounce vs 33.0 for this
+# sizing on practice7_3 bounce rays (v5e, chained).
+K1 = 4  # hit-bits popped per ray in the main tier (~p92)
+K2 = 28  # bits popped per compacted virtual ray per tier-2 round
+CAP2_DIV = 16  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
 
 
 def _k1() -> int:
@@ -91,6 +94,12 @@ def _k2() -> int:
     import os
 
     return int(os.environ.get("RT_K2", str(K2)))
+
+
+def _cap2_div() -> int:
+    import os
+
+    return int(os.environ.get("RT_CAP2_DIV", str(CAP2_DIV)))
 
 
 class GroupedArrays(NamedTuple):
@@ -400,7 +409,7 @@ def nearest_hit_grouped(
     slots = ga.geom_rows.shape[1] // 9
     tp = ga.aabb.shape[1]
     b = b_in
-    cap2 = max(((b // CAP2_DIV) // BLOCK) * BLOCK, BLOCK)
+    cap2 = max(((b // _cap2_div()) // BLOCK) * BLOCK, BLOCK)
 
     # 1. cull -> crossing bits + full per-treelet counts
     words, full_counts = _cull_bits(ro, rd, ga, tmin)
