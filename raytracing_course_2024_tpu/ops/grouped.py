@@ -29,9 +29,13 @@ Pipeline per bounce (all static shapes):
    per-ray hit-bit words (B, W) u32 + per-treelet ray counts.
 2. EXTRACT  -- pop the first K1 set bits per ray (cheap word ops: x & -x
    + exponent trick; NO (B, Tp) min-ordering passes). Rays with more than
-   K1 crossings are compacted (~frac>K1 of the batch) and pop K2 more as
-   "virtual rays"; anything beyond K1+K2 loops the virtual tier (rare:
-   sized from measured p99s).
+   K1 crossings are compacted ONCE (capacity B // CAP2_DIV) and pop up to
+   K2 more bits as "virtual rays" whose pair rows join the SAME sort --
+   sorts are ~fixed-cost, so the extra rows are nearly free while a
+   separate straggler sweep pays its own sorts + fill. Only rays beyond
+   the compaction capacity or with more than K1+K2 crossings (measured
+   p100 is ~32 = K1+K2 on the course meshes) drain through small
+   residual waves afterwards.
 3. FILL     -- ``(-count) % BLOCK`` filler pairs per treelet make every
    treelet's pair segment a BLOCK multiple: after sorting, EVERY block of
    BLOCK pairs holds exactly one treelet id.
@@ -416,32 +420,79 @@ def nearest_hit_grouped(
 
     # 2a. main tier: first K1 crossings per ray
     tid_k1, m = _pop_k(words, k1)
-
-    # main sweep: K1 rows per ray (the sorted-pair fast path)
     counts1 = full_counts - _count_rows(m, tp)
+
+    # 2b. straggler tier, SAME sweep: rays with more than K1 crossings are
+    # compacted ONCE and pop up to K2 more bits as "virtual rays" whose
+    # pair rows ride the SAME two sorts as the main tier (group ids
+    # b..b+cap2). This replaces the round-3 separate straggler waves (own
+    # sort1/test/sort2 + best_t re-cull + multi-round inner while): sorts
+    # are ~fixed-cost, so the extra K2*cap2 mostly-sentinel rows price
+    # ~2 ms at 262k lanes while a separate 16k-lane wave priced ~14 ms --
+    # and engine mixes whose straggler count overflows one wave's cap no
+    # longer double the tail cost (measured 33.0 -> see ROUNDLOG).
+    has_more = jnp.any(m != 0, axis=0)
+    idx2 = jnp.nonzero(has_more, size=cap2, fill_value=b)[0]
+    safe2 = jnp.minimum(idx2, b - 1)
+    live2 = idx2 < b
+    sub_m = jnp.where(live2[None, :], m[:, safe2], jnp.uint32(0))
+    tid_k2, sub_rem = _pop_k(sub_m, k2)
+    counts2 = _count_rows(sub_m, tp) - _count_rows(sub_rem, tp)
+
     comps = (ro.x, ro.y, ro.z, rd.x, rd.y, rd.z)
+    sub_c = tuple(jnp.where(live2, c[safe2], 0.0) for c in comps)
     ray_main = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[None, :], (k1, b)
     ).reshape(-1)
-    comp_main = tuple(
-        jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1) for c in comps
+    ray_virt = jnp.broadcast_to(
+        b + jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
+    ).reshape(-1)
+    comp_cols = tuple(
+        jnp.concatenate(
+            [
+                jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1),
+                jnp.broadcast_to(s[None, :], (k2, cap2)).reshape(-1),
+            ]
+        )
+        for c, s in zip(comps, sub_c)
     )
+    tid_col = jnp.concatenate([tid_k1.reshape(-1), tid_k2.reshape(-1)])
+    ray_col = jnp.concatenate([ray_main, ray_virt])
     t_flat, i_flat = _sweep(
-        ga, tid_k1.reshape(-1), ray_main, comp_main, counts1, slots, tp,
-        tmin, b,
+        ga, tid_col, ray_col, comp_cols, counts1 + counts2, slots, tp,
+        tmin, b + cap2,
     )
     best_t, best_idx = _row_min(
         t_flat[: k1 * b].reshape(b, k1), i_flat[: k1 * b].reshape(b, k1)
     )
+    v_t, v_i = _row_min(
+        t_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
+        i_flat[k1 * b : k1 * b + k2 * cap2].reshape(cap2, k2),
+    )
+    take = live2 & (v_t < best_t[safe2])
+    best_t = best_t.at[idx2].set(
+        jnp.where(take, v_t, best_t[safe2]), mode="drop"
+    )
+    best_idx = best_idx.at[idx2].set(
+        jnp.where(take, v_i, best_idx[safe2]), mode="drop"
+    )
 
-    # straggler waves: rays with more than K1 crossings drain through
-    # compacted sweeps of up to cap2 "virtual rays" popping K2 bits per
-    # round. ``m`` stays READ-ONLY past this point -- a minor-axis scatter
-    # back into the (W, B) words lowered to a catastrophic (cap2, B)
-    # dynamic-update-slice -- so progress is tracked by a (B,) processed
-    # flag instead, and each wave's leftover bits live only in its
-    # compacted sub_m.
-    processed = ~jnp.any(m != 0, axis=0)
+    # residual waves (rare): stragglers that overflowed the cap2
+    # compaction, or carried more than K1+K2 crossings, drain through
+    # compacted best_t-pruned waves. ``m`` stays READ-ONLY (a minor-axis
+    # scatter back into the (W, B) words lowered to a catastrophic
+    # (cap2, B) dynamic-update-slice), so progress is tracked by a (B,)
+    # processed flag; a re-compacted overflow ray re-pops from ``m`` and
+    # re-tests its tier-2 treelets -- idempotent for an exhaustive min.
+    over = (
+        jnp.zeros((b,), bool)
+        .at[idx2]
+        .set(jnp.any(sub_rem != 0, axis=0) & live2, mode="drop")
+    )
+    compacted = jnp.zeros((b,), bool).at[idx2].set(live2, mode="drop")
+    processed = (~has_more) | (compacted & ~over)
+    cap3 = max(((b // 64) // BLOCK) * BLOCK, BLOCK)
+    k3 = 32
 
     def waves_left(state):
         processed, _, _ = state
@@ -449,7 +500,7 @@ def nearest_hit_grouped(
 
     def wave(state):
         processed, best_t, best_idx = state
-        idx2 = jnp.nonzero(~processed, size=cap2, fill_value=b)[0]
+        idx2 = jnp.nonzero(~processed, size=cap3, fill_value=b)[0]
         safe2 = jnp.minimum(idx2, b - 1)
         live2 = idx2 < b
         sub_m0 = jnp.where(live2[None, :], m[:, safe2], jnp.uint32(0))
@@ -473,10 +524,10 @@ def nearest_hit_grouped(
         )
         sub_m0 = sub_m0 & _pack_words(keep2)
         ray_v = jnp.broadcast_to(
-            jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
+            jnp.arange(cap3, dtype=jnp.int32)[None, :], (k3, cap3)
         ).reshape(-1)
         scomps = tuple(
-            jnp.broadcast_to(c[None, :], (k2, cap2)).reshape(-1)
+            jnp.broadcast_to(c[None, :], (k3, cap3)).reshape(-1)
             for c in sub_c
         )
 
@@ -487,15 +538,15 @@ def nearest_hit_grouped(
         def one_round(st):
             sub_m, w_t, w_i = st
             before = _count_rows(sub_m, tp)
-            tid_k2, sub_m = _pop_k(sub_m, k2)
+            tid_k3, sub_m = _pop_k(sub_m, k3)
             emitted = before - _count_rows(sub_m, tp)
             t_flat, i_flat = _sweep(
-                ga, tid_k2.reshape(-1), ray_v, scomps, emitted, slots, tp,
-                tmin, cap2,
+                ga, tid_k3.reshape(-1), ray_v, scomps, emitted, slots, tp,
+                tmin, cap3,
             )
             r_t, r_i = _row_min(
-                t_flat[: k2 * cap2].reshape(cap2, k2),
-                i_flat[: k2 * cap2].reshape(cap2, k2),
+                t_flat[: k3 * cap3].reshape(cap3, k3),
+                i_flat[: k3 * cap3].reshape(cap3, k3),
             )
             better = r_t < w_t
             return (

@@ -209,6 +209,28 @@ def test_grouped_matches_dense_soup(rng, monkeypatch):
     )
 
 
+def test_grouped_residual_waves(rng, monkeypatch):
+    """Starved tier sizing (K1=1, K2=2, compaction capacity floored to one
+    BLOCK) forces virtual-tier overflow AND >K1+K2-crossing rays, so the
+    residual waves (cap3/k3 loop) must produce the exhaustive result."""
+    monkeypatch.setenv("RT_TRAVERSE", "grouped")
+    monkeypatch.setenv("RT_K1", "1")
+    monkeypatch.setenv("RT_K2", "2")
+    monkeypatch.setenv("RT_CAP2_DIV", "1000000")  # cap2 -> BLOCK lanes
+    desc = _soup_desc(rng, n=2100)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    arrays_j = jax.tree.map(jnp.asarray, arrays)
+    ro, rd = _rand_rays(rng, 4096)
+    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
+    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+    assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
+    both = np.asarray(hd.valid)
+    assert np.allclose(
+        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
+    )
+
+
 def test_kd_partition_matches_dense(rng, monkeypatch):
     """The disjoint kd-cell partition (RT_PARTITION=kd, with triangle
     duplication) produces the same nearest hits on both backends."""
