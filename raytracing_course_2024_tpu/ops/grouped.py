@@ -123,6 +123,9 @@ class GroupedArrays(NamedTuple):
     # coefficient tiles (ops/mt_pack.py) for the Pallas MXU block test:
     # rows 0-15 = coefficients (cols component-major [det|udet|vdet|tdet],
     # each (SLOTS,)), row 16 = treelet centroid (cols 0-2), rows 17-23 pad.
+    aabb_t: "jnp.ndarray" = None  # (Tpp, 128) pre-transposed boxes for the
+    # fused Pallas cull (ops/pallas_cull.py): six planes in cols 0-5,
+    # NaN padding rows beyond Tp.
 
 
 def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
@@ -166,8 +169,11 @@ def build_grouped(tl_aabb: np.ndarray, blocks: np.ndarray) -> GroupedArrays:
     geom_w = np.zeros((tp, W_ROWS, 4 * slots), np.float32)
     geom_w[:t, :16] = w
     geom_w[:t, CEN_ROW, 0:3] = c.T
+    from .pallas_cull import pack_aabb_t
+
     return GroupedArrays(
-        aabb=np.ascontiguousarray(aabb), geom_rows=geom, geom_w=geom_w
+        aabb=np.ascontiguousarray(aabb), geom_rows=geom, geom_w=geom_w,
+        aabb_t=pack_aabb_t(aabb),
     )
 
 
@@ -203,7 +209,22 @@ def _cull_bits(ro: Vec3, rd: Vec3, ga: "GroupedArrays", tmin):
 
     Words are stored WORD-MAJOR: a (B, W) layout lane-pads the tiny W
     minor dim to 128 and every pop pass pays 7x (measured: the pop stage
-    cost 21 ms/bounce in (B, W) vs ~2 ms word-major)."""
+    cost 21 ms/bounce in (B, W) vs ~2 ms word-major).
+
+    On TPU the fused Pallas kernel (ops/pallas_cull.py) produces
+    bit-identical words/counts without materializing the (B, Tp) slab
+    intermediates in HBM."""
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("RT_NO_PALLAS")
+        and getattr(ga, "aabb_t", None) is not None
+        and isinstance(tmin, (int, float))
+    ):
+        from .pallas_cull import cull_bits_pallas
+
+        return cull_bits_pallas(ro, rd, ga, float(tmin))
     b = ro.x.shape[0]
     tp = ga.aabb.shape[1]
     w = tp // 32

@@ -69,3 +69,36 @@ def test_block_mt_pallas_matches_xla():
     assert same.mean() > 0.999, same.mean()  # ties may pick either slot
     # sentinel block produced no hits
     assert not np.isfinite(t_pl[-1]).any()
+
+
+def test_cull_bits_pallas_matches_xla():
+    """The fused Pallas cull (ops/pallas_cull.py, interpret mode) is
+    bit-identical to ops.grouped._cull_bits: same crossing words, same
+    per-treelet counts, including NaN padding treelets and padded rays."""
+    import os
+    from raytracing_course_2024_tpu.ops.grouped import _cull_bits
+    from raytracing_course_2024_tpu.ops.pallas_cull import cull_bits_pallas
+    from raytracing_course_2024_tpu.ops.vec import Vec3
+
+    rng = np.random.default_rng(11)
+    t, slots = 70, 32  # Tp pads to 96 (32-mult), Tpp to 128
+    aabb, blocks = _fabricate(rng, t, slots)
+    ga = build_grouped(aabb, blocks)
+    assert ga.aabb_t is not None and ga.aabb_t.shape[0] % 128 == 0
+
+    b = 700  # not a multiple of the kernel tile -> exercises ray padding
+    o = rng.uniform(-8, 8, (b, 3)).astype(np.float32)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    rd = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    ga_j = type(ga)(*(jnp.asarray(f) if f is not None else None for f in ga))
+    os.environ["RT_NO_PALLAS"] = "1"  # force the XLA reference path
+    try:
+        w_ref, c_ref = _cull_bits(ro, rd, ga_j, 0.25)
+    finally:
+        del os.environ["RT_NO_PALLAS"]
+    w_pl, c_pl = cull_bits_pallas(ro, rd, ga_j, 0.25, interpret=True)
+    assert np.array_equal(np.asarray(w_ref), np.asarray(w_pl))
+    assert np.array_equal(np.asarray(c_ref), np.asarray(c_pl))
