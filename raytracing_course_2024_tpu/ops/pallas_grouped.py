@@ -48,13 +48,14 @@ W_ROWS = 24  # 16 coefficient rows + centroid row (16) + pad to 8-multiple
 CEN_ROW = 16
 
 
-def _kernel(slots: int, sentinel: int, tmin: float, prec,
+def _kernel(slots: int, sentinel: int, tmin: float, mode: str,
             tids_ref,
             rox, roy, roz, rdx, rdy, rdz,
             w_hbm,
             o_t, o_slot,
-            w_scr, cur_tid, sem):
+            w_scr, w_hi, w_lo, cur_tid, sem):
     g = pl.program_id(0)
+    split = mode in ("split3", "split4")
 
     @pl.when(g == 0)
     def _():
@@ -74,6 +75,13 @@ def _kernel(slots: int, sentinel: int, tmin: float, prec,
             dma.start()
             dma.wait()
             cur_tid[0] = tid
+            if split:  # hi/lo bf16 split, once per tile fetch
+                w32 = w_scr[0:16, :]
+                hi = w32.astype(jnp.bfloat16)
+                w_hi[:, :] = hi
+                w_lo[:, :] = (w32 - hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16
+                )
 
         @pl.when(tid < sentinel)
         def _(j=j):
@@ -98,13 +106,36 @@ def _kernel(slots: int, sentinel: int, tmin: float, prec,
                 ],
                 axis=0,
             )  # (16, BLOCK)
-            out = jax.lax.dot_general(
-                phi,
-                w_scr[0:16, :],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=prec,
-            )  # (BLOCK, 4*SLOTS), cols component-major [det|udet|vdet|tdet]
+            dims = (((0,), (0,)), ((), ()))
+            if split:
+                # manual bf16 hi/lo split: 3-4 DEFAULT-precision passes vs
+                # HIGHEST's 6. bf16 x bf16 products are EXACT in f32 (8-bit
+                # mantissas), so the only error is the split residual
+                # (~2^-17 relative) plus, for split3, the dropped lo x lo
+                # terms (~2^-16 relative).
+                ph = phi.astype(jnp.bfloat16)
+                pl_ = (phi - ph.astype(jnp.float32)).astype(jnp.bfloat16)
+
+                def dd(a, b):
+                    return jax.lax.dot_general(
+                        a, b, dims,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )
+
+                out = dd(ph, w_hi[:, :]) + dd(ph, w_lo[:, :]) + dd(
+                    pl_, w_hi[:, :]
+                )
+                if mode == "split4":
+                    out = out + dd(pl_, w_lo[:, :])
+            else:
+                out = jax.lax.dot_general(
+                    phi,
+                    w_scr[0:16, :],
+                    dims,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # (BLOCK, 4*SLOTS), cols [det|udet|vdet|tdet]
             det = out[:, 0 * slots : 1 * slots]
             ud = out[:, 1 * slots : 2 * slots]
             vd = out[:, 2 * slots : 3 * slots]
@@ -145,9 +176,12 @@ def block_mt_pallas(
 ):
     """Returns (t (NB, BLOCK) f32 with INF misses, slot (NB, BLOCK) i32).
 
-    ``precision``: "highest" = full f32 through the MXU. (bf16x3 "high"
-    was tried for a 2x matmul saving -- Mosaic's dot lowering only
-    supports DEFAULT/HIGHEST, so it is mapped to HIGHEST.)"""
+    ``precision``: "highest" (default) = full f32 through the MXU
+    (6 bf16 passes). "split3"/"split4" = manual hi/lo bf16 split at
+    DEFAULT precision (3/4 passes): Mosaic's dot lowering has no HIGH
+    (bf16x3) mode, so the split is done by hand -- W tiles split once per
+    cache fetch, phi per block. split4 keeps the lo x lo terms (error ~
+    the 2^-17 split residual); split3 drops them (~2^-16 relative)."""
     nb = block_tid.shape[0]
     pad = (-nb) % SUB
     if pad:
@@ -163,7 +197,7 @@ def block_mt_pallas(
     geom_w = cast_to_vma(geom_w, vma)
     prx = tuple(cast_to_vma(c.reshape(nbp // SUB, SUB, BLOCK), vma) for c in prx)
     sentinel = tp  # any tid >= Tp is a sentinel/filler-overflow block
-    prec = jax.lax.Precision.HIGHEST
+    mode = precision if precision in ("split3", "split4") else "highest"
 
     ray_spec = pl.BlockSpec(
         (1, SUB, BLOCK), lambda i, tids: (i, 0, 0), memory_space=pltpu.VMEM
@@ -176,12 +210,14 @@ def block_mt_pallas(
         out_specs=[ray_spec, ray_spec],
         scratch_shapes=[
             pltpu.VMEM((W_ROWS, 4 * slots), jnp.float32),
+            pltpu.VMEM((16, 4 * slots), jnp.bfloat16),
+            pltpu.VMEM((16, 4 * slots), jnp.bfloat16),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     t, slot = pl.pallas_call(
-        functools.partial(_kernel, slots, sentinel, tmin, prec),
+        functools.partial(_kernel, slots, sentinel, tmin, mode),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nbp // SUB, SUB, BLOCK), jnp.float32, vma=vma),

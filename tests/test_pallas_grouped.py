@@ -102,3 +102,43 @@ def test_cull_bits_pallas_matches_xla():
     w_pl, c_pl = cull_bits_pallas(ro, rd, ga_j, 0.25, interpret=True)
     assert np.array_equal(np.asarray(w_ref), np.asarray(w_pl))
     assert np.array_equal(np.asarray(c_ref), np.asarray(c_pl))
+
+
+def test_block_mt_pallas_split_modes():
+    """Manual bf16 hi/lo split modes (split3/split4) stay within their
+    analytic error bounds of the f32 XLA sweep (interpret mode emulates
+    them faithfully: the bf16 casts are real rounding, and DEFAULT dots of
+    bf16 inputs are exact-product + f32 accumulation on TPU too)."""
+    rng = np.random.default_rng(13)
+    t, slots = 3, 32
+    aabb, blocks = _fabricate(rng, t, slots)
+    ga = build_grouped(aabb, blocks)
+    tp = ga.aabb.shape[1]
+
+    nb = 6
+    block_tid = np.array([0, 1, 2, 0, 1, 2], np.int32)
+    o = rng.uniform(-8, 8, (nb, BLOCK, 3))
+    d = rng.normal(size=(nb, BLOCK, 3))
+    d /= np.linalg.norm(d, axis=2, keepdims=True)
+    prx = [jnp.asarray(o[..., i], jnp.float32) for i in range(3)] + [
+        jnp.asarray(d[..., i], jnp.float32) for i in range(3)
+    ]
+    t_ref, _ = _block_mt(
+        jnp.asarray(ga.geom_rows), jnp.asarray(block_tid), prx, slots, 0.0
+    )
+    t_ref = np.asarray(t_ref)
+
+    for mode, rtol in (("split4", 2e-5), ("split3", 2e-4)):
+        t_pl, _ = block_mt_pallas(
+            jnp.asarray(block_tid), tuple(prx), jnp.asarray(ga.geom_w),
+            slots, tp, 0.0, interpret=True, precision=mode,
+        )
+        t_pl = np.asarray(t_pl)
+        both = np.isfinite(t_ref) & np.isfinite(t_pl)
+        # valid-hit sets may differ only on knife-edge predicates
+        flip = np.isfinite(t_ref) != np.isfinite(t_pl)
+        assert flip.mean() < 5e-3, (mode, flip.mean())
+        assert np.allclose(t_pl[both], t_ref[both], rtol=rtol, atol=1e-5), (
+            mode,
+            np.abs(t_pl[both] - t_ref[both]).max(),
+        )
