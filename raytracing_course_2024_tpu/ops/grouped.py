@@ -85,7 +85,11 @@ BLOCK = 128  # pairs per single-treelet block (= one geometry tile fetch)
 # sizing on practice7_3 bounce rays (v5e, chained).
 K1 = 4  # hit-bits popped per ray in the main tier (~p92)
 K2 = 28  # bits popped per compacted virtual ray per tier-2 round
-CAP2_DIV = 16  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK
+CAP2_DIV = 8  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK.
+# Engine mixes run ~8-10% stragglers at K1=4 (bounce rays >4 crossings
+# 7-8%, fresh primaries 9.4% on practice7_3) -- B/8 keeps the whole tail
+# in the ONE combined sweep; B/16 overflowed it in-engine and every
+# bounce paid residual waves.
 
 
 def _k1() -> int:
