@@ -52,12 +52,14 @@ Pipeline per bounce (all static shapes):
    virtual tier.
 
 SLOTS (treelet capacity) tunes the workload shape: bigger treelets mean
-fewer, bigger cells -- the cull shrinks ~linearly and rays cross fewer
-cells, while each visited cell costs more (MXU-cheap) slot tests. Measured
-crossing counts on practice7_3 bounce rays: SLOTS=128 mean 15/p95 33;
-SLOTS=256 mean 7/p95 15 (best); SLOTS=512 mean 17+ (huge SAH subtree
-AABBs overlap pathologically). RT_SLOTS selects; the kd partition
-(RT_PARTITION=kd) measured worse at every setting and stays A/B-able.
+fewer, bigger cells -- the cull shrinks ~linearly, while each visited
+cell costs more (MXU-cheap) slot tests. Post-padding-fix crossing counts
+on practice7_3 bounce rays are nearly IDENTICAL at SLOTS=128 and 256
+(mean 2.4 / p95 5 / p99 12 / max ~32 -- the earlier "mean 15 vs 7" split
+was an artifact of padding treelets hitting as a unit box), so SLOTS
+mainly trades cull+pop cost (scales with Tp) against block-test flops
+(scale with SLOTS). RT_SLOTS selects; the kd partition (RT_PARTITION=kd)
+measured worse at every setting and stays A/B-able.
 """
 
 from __future__ import annotations
