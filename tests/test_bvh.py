@@ -209,6 +209,26 @@ def test_grouped_matches_dense_soup(rng, monkeypatch):
     )
 
 
+def test_treelet_starved_waves(rng, monkeypatch):
+    """RT_TREELET_R0=0 + a tiny straggler cap force EVERY ray through the
+    treelet phase-2 wave loop across many waves; results must still equal
+    the dense sweep (the wave marks its cap as done and loops)."""
+    monkeypatch.setenv("RT_TREELET_R0", "0")
+    monkeypatch.setenv("RT_TREELET_CAPDIV", "1000000")  # cap floor = 1024
+    desc = _soup_desc(rng, n=2100)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    arrays_j = jax.tree.map(jnp.asarray, arrays)
+    ro, rd = _rand_rays(rng, 4096)
+    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
+    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+    assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
+    both = np.asarray(hd.valid)
+    assert np.allclose(
+        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
+    )
+
+
 def test_grouped_residual_waves(rng, monkeypatch):
     """Starved tier sizing (K1=1, K2=2, compaction capacity floored to one
     BLOCK) forces virtual-tier overflow AND >K1+K2-crossing rays, so the
