@@ -268,3 +268,43 @@ def test_sticky_sharded_matches_wavefront():
     assert np.allclose(img_a, img_b, rtol=1e-4, atol=1e-5), np.abs(
         img_a - img_b
     ).max()
+
+
+def test_grouped_sharded_matches_single_device(monkeypatch):
+    """Grouped traversal (sorts + compactions + scatter-merges) under
+    shard_map: a 4x2 mesh frame of a BVH triangle-soup scene must match
+    the single-device wavefront render per sample (same global work-item
+    RNG; fp order may differ). Guards the vma rules of the combined-tier
+    sweep and its residual waves."""
+    from raytracing_course_2024_tpu.integrator.wavefront import (
+        render_wavefront,
+    )
+    from raytracing_course_2024_tpu.ops.bvh import attach_bvh
+    from tests.test_bvh import _soup_desc
+
+    monkeypatch.setenv("RT_TRAVERSE", "grouped")
+    rng = np.random.default_rng(5)
+    desc = _soup_desc(rng, n=900)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    arrays = jax.tree.map(
+        lambda x: jnp.asarray(x) if x is not None else None, arrays
+    )
+    cam = camera_arrays(desc.settings.camera)
+    cfg = TraceConfig(ray_depth=2, bg_color=(0.1, 0.1, 0.2), backend="bvh")
+    w, h, spp = 16, 8, 8
+    img_sh = hw3(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            w, h, spp, make_mesh(4, 2), engine="wavefront",
+        )
+    )
+    img_1, _ = render_wavefront(
+        jnp.uint32(0), jnp.int32(0), jnp.int32(0), cam, arrays, statics,
+        cfg, w, h, w * h, spp, 1024,
+    )
+    img_1 = hw3(np.asarray(img_1).reshape(3, h, w))
+    assert np.isfinite(img_sh).all()
+    assert np.allclose(img_sh, img_1, rtol=1e-4, atol=1e-5), np.abs(
+        img_sh - img_1
+    ).max()
