@@ -167,7 +167,35 @@ def _all_hits(prim, o, d):
     return out
 
 
-def _nearest(prims, o, d, tmin=0.0):
+def _nearest(prims, o, d, tmin=0.0, tri_pack=None):
+    if tri_pack is not None:
+        # vectorized f64 dense triangle scan for big all-triangle scenes
+        # (the per-prim python loop is infeasible at 100k prims). Still
+        # fully production-independent: pure numpy, full dense scan, and
+        # the WINNER's (t, normals) come from the same per-prim
+        # _all_hits code as the naive path.
+        p0, e1, e2 = tri_pack
+        pv = np.cross(d, e2)
+        det = np.einsum("ij,ij->i", e1, pv)
+        safe = np.where(np.abs(det) > 1e-300, det, 1.0)
+        tv = o - p0
+        u = np.einsum("ij,ij->i", tv, pv) / safe
+        qv = np.cross(tv, e1)
+        v = qv @ d
+        v = v / safe
+        t = np.einsum("ij,ij->i", e2, qv) / safe
+        ok = (
+            (np.abs(det) > 1e-300) & (u >= 0) & (v >= 0) & (u + v <= 1)
+            & (t > tmin)
+        )
+        if not ok.any():
+            return None
+        t = np.where(ok, t, np.inf)
+        i = int(np.argmin(t))
+        for (th, ng, ns) in _all_hits(prims[i], o, d):
+            if th > tmin:
+                return (th, ng, ns, prims[i])
+        return None
     best = None
     for prim in prims:
         for (t, ng, ns) in _all_hits(prim, o, d):
@@ -354,11 +382,22 @@ class Oracle:
         ]
         self.settings = desc.settings
         self.rng = np.random.default_rng(seed)
+        # big all-triangle scenes: precompute the dense-scan pack
+        self.tri_pack = None
+        if len(self.prims) > 256 and all(
+            p.ptype == TRI for p in self.prims
+        ):
+            p0 = np.stack([p.p0 for p in self.prims])
+            self.tri_pack = (
+                p0,
+                np.stack([p.p1 for p in self.prims]) - p0,
+                np.stack([p.p2 for p in self.prims]) - p0,
+            )
 
     def ray_color(self, o, d, depth):
         if depth == 0:
             return np.zeros(3)
-        hit = _nearest(self.prims, o, d)
+        hit = _nearest(self.prims, o, d, tri_pack=self.tri_pack)
         if hit is None:
             return np.asarray(self.settings.bg_color, np.float64)
         t, ng, ns, prim = hit

@@ -64,7 +64,9 @@ EMISSION 6 5 4
 def _compare(desc, oracle_spp, prod_spp, seed=0):
     oracle = Oracle(desc, seed=123)
     o_img, o_var = oracle.render(spp=oracle_spp)
-    r = Renderer(desc, faithful=True, max_tries=16)
+    # batch engine: the wavefront counter-RNG block caps max_tries at 8,
+    # and the estimator under test is engine-independent
+    r = Renderer(desc, faithful=True, max_tries=16, engine="batch")
     p_img = r.render_radiance(seed=seed, samples=prod_spp)
 
     sigma2 = o_var / oracle_spp + o_var / prod_spp
@@ -119,3 +121,15 @@ def test_oracle_smooth_mesh():
         verts, faces, vnormals=verts, width=12, height=8, samples=16,
     )
     _compare(desc, oracle_spp=24, prod_spp=384)
+
+
+def test_oracle_big_mesh(scenes_dir):
+    """practice7_3 (99,950-triangle organic mesh): the estimator-level
+    anchor for the big-scene class where the treelet/grouped traversal
+    machinery lives. The oracle takes its vectorized-dense f64 scan
+    (still production-independent); production runs the BVH backend."""
+    from raytracing_course_2024_tpu.scene import load_scene
+    from conftest import scene_path
+
+    desc = load_scene(scene_path("practice7_3.gltf"), 12, 8, 16)
+    _compare(desc, oracle_spp=16, prod_spp=256)
