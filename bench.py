@@ -157,9 +157,39 @@ def _emit(res, contract_spp):
     return line
 
 
+def _claim_watchdog():
+    """Fail loudly instead of hanging forever if the TPU claim is wedged
+    (axon relay outages block device init silently -- observed 6h+ on
+    2026-08-18). Disarmed the moment the first device op completes."""
+    import threading
+
+    timeout_s = float(os.environ.get("RT_BENCH_CLAIM_TIMEOUT", "900"))
+    armed = threading.Event()
+
+    def fire():
+        if armed.wait(timeout_s):
+            return
+        print(
+            json.dumps({
+                "metric": "bench aborted: TPU claim not granted",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": f"device claim exceeded {timeout_s:.0f}s",
+            }),
+            flush=True,
+        )
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    jnp.zeros((8, 128)).block_until_ready()  # the actual claim
+    armed.set()
+
+
 def main():
     from raytracing_course_2024_tpu.scene import SCENES_DIR
 
+    _claim_watchdog()
     reps = int(os.environ.get("RT_BENCH_REPS", "3"))
     batch_cap = int(os.environ.get("RT_BENCH_BATCH", "1048576"))
 
