@@ -91,9 +91,8 @@ class Renderer:
         # host->device round trip per frame costs ~5-10 ms of relay latency
         # -- visible on the 0.05-s practice3 frames. ``seed``/``batch_i``
         # arrive as plain host scalars in the one execute call.
-        def _render_batch(seed, batch_i, offset, arrays, samples: int,
-                          batch: int, replicas: int, with_stats: bool):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), batch_i)
+        def _batch_body(key, offset, arrays, samples: int,
+                        batch: int, replicas: int, with_stats: bool):
             # small frames underutilize the 1M-lane sweet spot: replicate
             # each pixel `replicas` times across the lane axis, give each
             # replica samples/replicas of the spp budget with a distinct
@@ -126,9 +125,46 @@ class Renderer:
                 out = out.reshape(3, replicas, batch).mean(axis=1)
             return out, nrays
 
+        def _render_batch(seed, batch_i, offset, arrays, samples: int,
+                          batch: int, replicas: int, with_stats: bool):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), batch_i)
+            return _batch_body(
+                key, offset, arrays, samples, batch, replicas, with_stats
+            )
+
         self._render_batch = jax.jit(
             _render_batch,
             static_argnames=("samples", "batch", "replicas", "with_stats"),
+        )
+
+        def _render_chained(seed, arrays, samples: int, batch: int,
+                            replicas: int, n_frames: int):
+            # N whole frames serialized ON DEVICE in one dispatch: frame
+            # i+1's RNG seed mixes a token derived from frame i's radiance
+            # (always 0, but opaque to the compiler), so XLA can neither
+            # overlap nor elide frames. This removes the ~29 ms/dispatch
+            # relay round-trip that dominates sub-0.1 s frames in this
+            # environment (ROUNDLOG_r03 device-chained proof; VERDICT r3
+            # next #4). Same per-frame program as _render_batch.
+            def body(i, carry):
+                acc, tok = carry
+                key = jax.random.fold_in(
+                    jax.random.PRNGKey(seed + tok), i
+                )
+                out, nrays = _batch_body(
+                    key, jnp.int32(0), arrays, samples, batch, replicas, True
+                )
+                tok2 = (out[0, 0] * jnp.float32(0)).astype(jnp.uint32)
+                return acc + nrays, tok2
+
+            verts, _ = jax.lax.fori_loop(
+                0, n_frames, body, (jnp.float32(0), jnp.uint32(0))
+            )
+            return verts
+
+        self._render_chained = jax.jit(
+            _render_chained,
+            static_argnames=("samples", "batch", "replicas", "n_frames"),
         )
 
         def _render_wf(seed32, arrays, samples: int, n_pix: int, lanes: int):
@@ -208,6 +244,32 @@ class Renderer:
             if progress:
                 log.info("render progress: %d/%d batches", i + 1, num_batches)
         return outs, nrays_total
+
+    def render_frames_chained(
+        self, n_frames: int, seed: int = 0, samples: int | None = None
+    ) -> float:
+        """Render ``n_frames`` whole frames serialized in ONE dispatch.
+
+        Returns the total path-vertex count (host float -- syncs on
+        completion, so wall-clock around this call divided by ``n_frames``
+        is the pure per-frame device time with zero relay round-trips).
+        Batch engine with single-batch frames only: that is exactly the
+        sub-0.1 s dense-family regime where dispatch latency dominates
+        (the big-mesh wavefront frames run for seconds and don't need it).
+        """
+        w, h = self.settings.width, self.settings.height
+        samples = samples or self.settings.samples
+        total = w * h
+        if self.engine != "batch":
+            raise ValueError("chained frames are batch-engine only")
+        b, replicas = self._plan(total, samples)
+        if -(-total // b) != 1:
+            raise ValueError("chained frames require a single-batch frame")
+        verts = self._render_chained(
+            np.uint32(seed & 0xFFFFFFFF), self.arrays, samples, b,
+            replicas, n_frames,
+        )
+        return float(verts)
 
     def render_radiance(
         self,

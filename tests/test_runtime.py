@@ -78,6 +78,21 @@ def test_stats(tmp_path):
     assert "Mrays/s" in str(stats)
 
 
+def test_chained_frames_match_dispatched():
+    # bench.py's device-chained accounting (VERDICT r3 next #4): one
+    # chained frame is the SAME program+stream as one dispatched batch
+    # (the chain token is 0, fold_in index 0 == batch_i 0), so the vertex
+    # counts must agree exactly; N frames accumulate ~N single-frame
+    # counts (different fold_in streams, same scene -> within a few %).
+    desc = parse_text_scene(SCENE)
+    r = Renderer(desc)
+    _, n1 = r.render_frame_device(seed=7, samples=16)
+    v1 = r.render_frames_chained(1, seed=7, samples=16)
+    assert v1 == n1, (v1, n1)
+    v3 = r.render_frames_chained(3, seed=7, samples=16)
+    assert 2.5 * v1 <= v3 <= 3.5 * v1, (v1, v3)
+
+
 def test_ppm_roundtrip(tmp_path, rng):
     img = rng.integers(0, 255, (7, 9, 3), dtype=np.uint8)
     path = str(tmp_path / "x.ppm")
