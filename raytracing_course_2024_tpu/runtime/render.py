@@ -355,68 +355,108 @@ def render_scene(desc: SceneDesc, seed: int = 0, **kw) -> np.ndarray:
     return img
 
 
+class ShardedRenderer:
+    """Multi-chip frame renderer: rows over 'tile', samples over 'spp'.
+
+    Mesh factoring (when ``mesh`` is not given): put up to 2 devices on the
+    spp axis when samples allow (pmean merge over ICI), the rest on
+    disjoint row tiles. Estimator options (backend/max_tries/engine) mean
+    the same thing as in ``Renderer``. Duck-type compatible with
+    ``runtime.checkpoint.render_with_checkpoints`` (``.settings`` +
+    ``.render_radiance(seed, samples)``), so long multi-chip contract
+    frames (1024 spp, BASELINE.json:11) checkpoint/resume exactly like
+    single-chip ones -- the chunk seeds are folded the same way, and the
+    wavefront RNG is keyed by global (pixel, sample) so resumed chunks
+    reproduce bit-for-bit on any mesh factoring.
+    """
+
+    def __init__(
+        self,
+        desc: SceneDesc,
+        mesh=None,
+        backend: str | None = None,
+        max_tries: int = 4,
+        engine: str | None = None,
+    ):
+        import os
+
+        from ..ops.camera import camera_arrays
+        from ..parallel import make_mesh
+        from ..scene.build import build_scene_arrays
+
+        self.desc = desc
+        self.settings = s = desc.settings
+        if mesh is None:
+            ndev = jax.device_count()
+            n_spp = 2 if ndev % 2 == 0 and s.samples % 2 == 0 else 1
+            mesh = make_mesh(ndev // n_spp, n_spp)
+        self.mesh = mesh
+
+        arrays, statics = build_scene_arrays(desc)
+        if backend is None:
+            backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
+        engine = engine or os.environ.get("RT_ENGINE")
+        if engine is None:
+            engine = "wavefront" if backend == "bvh" else "batch"
+        if backend == "bvh":
+            from ..ops.bvh import attach_bvh
+
+            arrays = attach_bvh(arrays, statics)
+        self.arrays = jax.tree.map(jnp.asarray, arrays)
+        self.statics = statics
+        self.backend = backend
+        self.engine = engine
+        self.cam = camera_arrays(s.camera)
+        self.cfg = TraceConfig(
+            ray_depth=s.ray_depth, bg_color=tuple(s.bg_color),
+            max_tries=max_tries, backend=backend,
+        )
+
+    def render_radiance(
+        self, seed: int = 0, samples: int | None = None
+    ) -> np.ndarray:
+        """Full-frame mean radiance, (H, W, 3) f32 numpy, SPMD."""
+        from ..parallel import render_frame_sharded
+
+        s = self.settings
+        samples = samples or s.samples
+        rad = render_frame_sharded(
+            jax.random.PRNGKey(seed), self.arrays, self.statics, self.cam,
+            self.cfg, s.width, s.height, samples, self.mesh,
+            engine=self.engine,
+        )  # channel-major (3, H, W); transpose host-side after the fetch
+        return np.ascontiguousarray(np.moveaxis(np.asarray(rad), 0, -1))
+
+    def render_u8(self, seed: int = 0, samples: int | None = None) -> np.ndarray:
+        from ..ops.tonemap import color_to_u8
+
+        rad = self.render_radiance(seed, samples)
+        return np.asarray(color_to_u8(jnp.asarray(rad)))
+
+
 def _render_scene_sharded(
     desc: SceneDesc,
     seed: int = 0,
-    backend: str | None = None,
-    max_tries: int = 4,
     batch_size: int | None = None,
-    engine: str | None = None,
+    **kw,
 ) -> np.ndarray:
-    """Multi-chip frame render: rows over 'tile', samples over 'spp'.
+    """One-shot multi-chip frame render (see ShardedRenderer).
 
-    Mesh factoring: put up to 2 devices on the spp axis when samples allow
-    (pmean merge over ICI), the rest on disjoint row tiles. Estimator
-    options (backend/max_tries) mean the same thing as in ``Renderer``;
     ``batch_size`` does not apply (each device renders its whole tile in
     one program) and is rejected so a caller's intent is never dropped.
     """
-    from ..ops.camera import camera_arrays
-    from ..parallel import make_mesh, render_frame_sharded
-    from ..scene.build import build_scene_arrays
-    from ..ops.tonemap import color_to_u8
-    from ..integrator.path import TraceConfig
-
     if batch_size is not None:
         raise ValueError(
             "batch_size is single-device-only; the sharded renderer runs one "
             "program per tile"
         )
-    import os
-
-    ndev = jax.device_count()
+    r = ShardedRenderer(desc, **kw)
     s = desc.settings
-    n_spp = 2 if ndev % 2 == 0 and s.samples % 2 == 0 else 1
-    n_tiles = ndev // n_spp
-    mesh = make_mesh(n_tiles, n_spp)
-
-    arrays, statics = build_scene_arrays(desc)
-    if backend is None:
-        backend = "bvh" if statics.num_prims > BVH_THRESHOLD else "dense"
-    engine = engine or os.environ.get("RT_ENGINE")
-    if engine is None:
-        engine = "wavefront" if backend == "bvh" else "batch"
-    if backend == "bvh":
-        from ..ops.bvh import attach_bvh
-
-        arrays = attach_bvh(arrays, statics)
-    arrays = jax.tree.map(jnp.asarray, arrays)
-    cam = camera_arrays(s.camera)
-    cfg = TraceConfig(
-        ray_depth=s.ray_depth, bg_color=tuple(s.bg_color),
-        max_tries=max_tries, backend=backend,
-    )
-
     t0 = time.perf_counter()
-    rad = render_frame_sharded(
-        jax.random.PRNGKey(seed), arrays, statics, cam, cfg,
-        s.width, s.height, s.samples, mesh, engine=engine,
-    )  # channel-major (3, H, W); transpose host-side after the fetch
-    rad_hw3 = np.ascontiguousarray(np.moveaxis(np.asarray(rad), 0, -1))
-    img = np.asarray(color_to_u8(jnp.asarray(rad_hw3)))
+    img = r.render_u8(seed)
     log.info(
         "sharded render (%s): %dx%d @ %d spp in %.2fs",
-        dict(mesh.shape), s.width, s.height, s.samples,
+        dict(r.mesh.shape), s.width, s.height, s.samples,
         time.perf_counter() - t0,
     )
     return img

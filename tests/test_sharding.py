@@ -308,3 +308,55 @@ def test_grouped_sharded_matches_single_device(monkeypatch):
     assert np.allclose(img_sh, img_1, rtol=1e-4, atol=1e-5), np.abs(
         img_sh - img_1
     ).max()
+
+
+def test_checkpoint_resume_under_sharded_render(tmp_path):
+    """VERDICT r3 next #8: checkpoint/resume MID-FRAME on the 8-device
+    mesh. A 16-spp frame renders in 4-spp chunks through ShardedRenderer
+    (duck-typed into render_with_checkpoints); a job interrupted after two
+    chunks resumes to the bit-identical image of an uninterrupted run."""
+    from raytracing_course_2024_tpu.runtime.checkpoint import (
+        render_with_checkpoints,
+    )
+    from raytracing_course_2024_tpu.runtime.render import ShardedRenderer
+
+    desc = parse_text_scene(SCENE)
+    r = ShardedRenderer(desc, mesh=make_mesh(4, 2))
+    assert r.engine == "batch" and r.backend == "dense"
+
+    full = render_with_checkpoints(
+        r, str(tmp_path / "a.npz"), total_spp=16, chunk_spp=4, seed=11
+    )
+    assert full.shape == (16, 32, 3) and np.isfinite(full).all()
+
+    # interrupt after 2 chunks, then resume from the checkpoint
+    import raytracing_course_2024_tpu.runtime.checkpoint as C
+
+    calls = {"n": 0}
+    orig = ShardedRenderer.render_radiance
+
+    class Boom(RuntimeError):
+        pass
+
+    def interrupting(self, *a, **k):
+        if calls["n"] == 2:
+            raise Boom()
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    ShardedRenderer.render_radiance = interrupting
+    try:
+        try:
+            render_with_checkpoints(
+                r, str(tmp_path / "b.npz"), total_spp=16, chunk_spp=4, seed=11
+            )
+            raise AssertionError("expected interruption")
+        except Boom:
+            pass
+    finally:
+        ShardedRenderer.render_radiance = orig
+
+    resumed = render_with_checkpoints(
+        r, str(tmp_path / "b.npz"), total_spp=16, chunk_spp=4, seed=11
+    )
+    assert np.array_equal(resumed, full), np.abs(resumed - full).max()
