@@ -290,8 +290,9 @@ def trace_paths(
     rays = zeros
 
     # fused-bounce megakernel (ops/pallas_bounce.py): the whole bounce in
-    # one Pallas kernel for small all-triangle non-delta scenes (the
-    # headline family). Same estimator, TPU hardware-PRNG stream (like the
+    # one Pallas kernel for any small scene (<= 128 finite prims + planes;
+    # the whole dense family incl. analytic primitives and delta materials
+    # since round 4). Same estimator, TPU hardware-PRNG stream (like the
     # sampler kernel); +7% measured on the headline with image parity at
     # the MC-noise scale. DEFAULT ON since round 3: the round-2 transient
     # device faults did not reproduce in a 120-invocation soak
@@ -315,6 +316,12 @@ def trace_paths(
 
         use_mega = megakernel_eligible(statics, scn)
 
+    geo_mega = None
+    if use_mega:
+        from ..ops.pallas_bounce import build_geo_rows
+
+        geo_mega = build_geo_rows(scn, statics)  # hoisted out of the scan
+
     if cfg.ray_depth > 1:
         if use_mega:
             from ..ops.pallas_bounce import bounce_pallas
@@ -325,7 +332,7 @@ def trace_paths(
                 ro2, rd2, thr, rad, alv = bounce_pallas(
                     jax.random.fold_in(key, i), st.ro, st.rd, st.throughput,
                     st.radiance, st.alive, scn, statics,
-                    cfg.bg_color, cfg.max_tries,
+                    cfg.bg_color, cfg.max_tries, geo=geo_mega,
                 )
                 return (_PathState(ro2, rd2, thr, rad, alv), cnt), None
 
@@ -346,7 +353,20 @@ def trace_paths(
 
     # final depth level: emission/background only (deeper recursion is black)
     rays = rays + state.alive.astype(jnp.float32)
-    state, _, _ = _collect_hit(state, scn, statics, cfg)
+    if use_mega:
+        # fused epilogue: intersect + emission in the same kernel
+        # (final_only skips sampling/BRDF) instead of the XLA collect's
+        # separate intersect/detail/emission fusions (VERDICT r3 next #5)
+        from ..ops.pallas_bounce import bounce_pallas
+
+        _, _, _, rad, _ = bounce_pallas(
+            jax.random.fold_in(key, cfg.ray_depth), state.ro, state.rd,
+            state.throughput, state.radiance, state.alive, scn, statics,
+            cfg.bg_color, cfg.max_tries, final_only=True, geo=geo_mega,
+        )
+        state = state._replace(radiance=rad)
+    else:
+        state, _, _ = _collect_hit(state, scn, statics, cfg)
     if with_stats:
         return state.radiance, rays
     return state.radiance

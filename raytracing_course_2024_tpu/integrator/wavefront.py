@@ -67,6 +67,13 @@ _CTR_DIEL = 63
 _PARK_ORIGIN = 1.0e30
 _PARK_DIR = 0.5773502691896258  # 1/sqrt(3)
 
+# probe-only (RT_WF_TRACE=1 + a hook): render_wavefront runs its round loop
+# at python level and calls the hook with (round_i, post-refill state) --
+# the exact per-round ray mix entering each bounce, for platform-
+# independent crossing-count statistics (_probes/prof_engine_mix.py).
+# No effect on the production lax.while_loop path.
+_TRACE_HOOK = None
+
 
 class _WfState(NamedTuple):
     work: jnp.ndarray  # (B,) i32 work id; -1 = none (flushed or never used)
@@ -131,13 +138,16 @@ def _make_bounce_core(cfg: TraceConfig, scn: SceneArrays, statics: SceneStatics)
         return where3(alive, ro2, park_o), where3(alive, rd2, park_d)
 
     if use_mega:
+        from ..ops.pallas_bounce import build_geo_rows
+
+        geo_mega = build_geo_rows(scn, statics)  # hoisted out of the loop
 
         def core(key, depth, ro, rd, thr, rad, alive):
             from ..ops.pallas_bounce import bounce_pallas
 
             ro2, rd2, thr2, rad2, alv = bounce_pallas(
                 key, ro, rd, thr, rad, alive, scn, statics,
-                cfg.bg_color, cfg.max_tries,
+                cfg.bg_color, cfg.max_tries, geo=geo_mega,
             )
             cont = alv & (depth < cfg.ray_depth - 1)
             ro2, rd2 = park(cont, ro2, rd2)
@@ -341,10 +351,27 @@ def render_wavefront(
         nverts=f0,
         rnd=i0,
     )
-    st = jax.lax.while_loop(cond, body, init)
+    if _os.environ.get("RT_WF_TRACE") and _TRACE_HOOK is not None:
+        # probe-only python-level round loop (see _TRACE_HOOK above)
+        st = init
+        i = 0
+        while bool(jnp.any((st.counter < total_work) | st.alive)):
+            if int(jnp.sum((~st.alive).astype(jnp.int32))) >= thresh:
+                st = refill(st)
+            _TRACE_HOOK(i, st)
+            st = bounce(st)
+            i += 1
+        return _wf_finish(st, n_pix, samples)
 
-    # final flush: the loop exits with work exhausted and no lane alive,
-    # but the last completions still hold their radiance in-lane
+    st = jax.lax.while_loop(cond, body, init)
+    return _wf_finish(st, n_pix, samples)
+
+
+def _wf_finish(st: _WfState, n_pix: int, samples: int):
+    """Final flush: the loop exits with work exhausted and no lane alive,
+    but the last completions still hold their radiance in-lane."""
+    import os as _os
+
     flushable = st.work >= 0
     idx = jnp.where(flushable, jnp.maximum(st.work, 0) % n_pix, n_pix)
     img_r = st.img_r.at[idx].add(st.rad.x, mode="drop")
@@ -544,7 +571,13 @@ def _sticky_fused(
     while_loop iteration (ops/pallas_bounce.persistent_round). Lane ``l``
     owns tile pixel ``l`` (requires n_pix <= b); lanes beyond n_pix idle
     with a zero sample budget."""
-    from ..ops.pallas_bounce import pack_camera_row, persistent_round
+    from ..ops.pallas_bounce import (
+        build_geo_rows,
+        pack_camera_row,
+        persistent_round,
+    )
+
+    geo_mega = build_geo_rows(scn, statics)  # hoisted out of the round loop
 
     lane = jnp.arange(b, dtype=jnp.int32)
     owned = lane < n_pix
@@ -578,6 +611,7 @@ def _sticky_fused(
         state, nv, more = persistent_round(
             key, cam_row, px, py, kmax, state, scn, statics,
             cfg.bg_color, cfg.max_tries, cfg.ray_depth, width, height,
+            geo=geo_mega,
         )
         return state, nverts + nv, more, rnd + 1
 
