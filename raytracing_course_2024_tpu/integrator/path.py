@@ -86,6 +86,29 @@ def _nearest(ro, rd, scn, statics, cfg: TraceConfig):
     return nearest_hit_dense(ro, rd, scn, statics)
 
 
+def _mega_gate(cfg: TraceConfig, scn, statics) -> bool:
+    """Fused-bounce megakernel gate, shared by the batch scan, the
+    camera-fused sample loop (render_pixels) and the wavefront engines.
+    Off-TPU the kernel would run in interpret mode, whose hardware-PRNG
+    stand-in is degenerate -> statistically wrong renders (the sampler
+    path's 'auto' falls back to XLA for the same reason). Interpret mode
+    stays reachable for tests via bounce_pallas directly."""
+    import os as _os
+
+    if not (
+        cfg.backend == "dense"
+        and not cfg.faithful
+        and not cfg.rr  # roulette runs in the XLA bounce only
+        and cfg.sampler in ("auto", "pallas")
+        and _os.environ.get("RT_MEGAKERNEL", "1") != "0"
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    from ..ops.pallas_bounce import megakernel_eligible
+
+    return megakernel_eligible(statics, scn)
+
+
 class _PathState(NamedTuple):
     ro: Vec3
     rd: Vec3
@@ -297,24 +320,7 @@ def trace_paths(
     # the MC-noise scale. DEFAULT ON since round 3: the round-2 transient
     # device faults did not reproduce in a 120-invocation soak
     # (ROUNDLOG_r03.md); RT_MEGAKERNEL=0 opts out.
-    import os as _os
-
-    use_mega = (
-        cfg.backend == "dense"
-        and not cfg.faithful
-        and not cfg.rr  # roulette runs in the XLA bounce only
-        and cfg.sampler in ("auto", "pallas")
-        and _os.environ.get("RT_MEGAKERNEL", "1") != "0"
-        # off-TPU the kernel would run in interpret mode, whose hardware-PRNG
-        # stand-in is degenerate -> statistically wrong renders (the sampler
-        # path's 'auto' falls back to XLA for the same reason). Interpret
-        # mode stays reachable for tests via bounce_pallas directly.
-        and jax.default_backend() == "tpu"
-    )
-    if use_mega:
-        from ..ops.pallas_bounce import megakernel_eligible
-
-        use_mega = megakernel_eligible(statics, scn)
+    use_mega = _mega_gate(cfg, scn, statics)
 
     geo_mega = None
     if use_mega:
@@ -372,6 +378,59 @@ def trace_paths(
     return state.radiance
 
 
+def _trace_paths_mega_primary(
+    key: jax.Array,
+    pix_x: jnp.ndarray,
+    pix_y: jnp.ndarray,
+    cam: CameraArrays,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    cfg: TraceConfig,
+    width: int,
+    height: int,
+    geo: jnp.ndarray,
+):
+    """Fully-fused megakernel sample: camera jitter rides the bounce-0
+    kernel (ops/pallas_bounce.primary_bounce_pallas), later bounces the
+    per-bounce kernel, and the final depth level the fused epilogue --
+    zero XLA stages between kernels beyond the scan plumbing. Same
+    estimator and vertex accounting as ``trace_paths``; requires
+    ray_depth >= 2 (at depth 1 the only level is emission-only).
+    Returns (radiance Vec3 (B,), rays_traced (B,))."""
+    from ..ops.pallas_bounce import bounce_pallas, primary_bounce_pallas
+
+    ro, rd, thr, rad, alive = primary_bounce_pallas(
+        jax.random.fold_in(key, 0), pix_x, pix_y, cam, scn, statics,
+        cfg.bg_color, cfg.max_tries, width, height, geo=geo,
+    )
+    state = _PathState(ro, rd, thr, rad, alive)
+    rays = ro.x * 0.0 + 1.0  # every lane traced the camera bounce
+
+    if cfg.ray_depth > 2:
+
+        def step(carry, i):
+            st, cnt = carry
+            cnt = cnt + st.alive.astype(jnp.float32)
+            ro2, rd2, thr2, rad2, alv = bounce_pallas(
+                jax.random.fold_in(key, i), st.ro, st.rd, st.throughput,
+                st.radiance, st.alive, scn, statics, cfg.bg_color,
+                cfg.max_tries, geo=geo,
+            )
+            return (_PathState(ro2, rd2, thr2, rad2, alv), cnt), None
+
+        (state, rays), _ = jax.lax.scan(
+            step, (state, rays), jnp.arange(1, cfg.ray_depth - 1)
+        )
+
+    rays = rays + state.alive.astype(jnp.float32)
+    _, _, _, rad, _ = bounce_pallas(
+        jax.random.fold_in(key, cfg.ray_depth), state.ro, state.rd,
+        state.throughput, state.radiance, state.alive, scn, statics,
+        cfg.bg_color, cfg.max_tries, final_only=True, geo=geo,
+    )
+    return rad, rays
+
+
 def render_pixels(
     key: jax.Array,
     pix_x: jnp.ndarray,
@@ -399,13 +458,40 @@ def render_pixels(
     vectorized over the whole pixel batch.
     """
 
-    def one_sample(carry, s):
-        acc, nrays = carry
-        k = jax.random.fold_in(key, s)
-        k_cam, k_path = jax.random.split(k)
-        ro, rd = generate_rays(cam, pix_x, pix_y, width, height, k_cam)
-        rad, rays = trace_paths(k_path, ro, rd, scn, statics, cfg, with_stats=True)
-        return (acc + rad, nrays + jnp.sum(rays)), None
+    import os as _os
+
+    # camera-fused sample loop: when the megakernel is live, bounce 0's
+    # kernel also generates the jittered camera ray (RT_MEGA_CAM=0 A/Bs
+    # back to the XLA generate_rays stage)
+    use_mega_cam = (
+        cfg.ray_depth >= 2
+        and _os.environ.get("RT_MEGA_CAM", "1") != "0"
+        and _mega_gate(cfg, scn, statics)
+    )
+    if use_mega_cam:
+        from ..ops.pallas_bounce import build_geo_rows
+
+        geo = build_geo_rows(scn, statics)  # hoisted out of the sample scan
+
+        def one_sample(carry, s):
+            acc, nrays = carry
+            k = jax.random.fold_in(key, s)
+            rad, rays = _trace_paths_mega_primary(
+                k, pix_x, pix_y, cam, scn, statics, cfg, width, height, geo
+            )
+            return (acc + rad, nrays + jnp.sum(rays)), None
+
+    else:
+
+        def one_sample(carry, s):
+            acc, nrays = carry
+            k = jax.random.fold_in(key, s)
+            k_cam, k_path = jax.random.split(k)
+            ro, rd = generate_rays(cam, pix_x, pix_y, width, height, k_cam)
+            rad, rays = trace_paths(
+                k_path, ro, rd, scn, statics, cfg, with_stats=True
+            )
+            return (acc + rad, nrays + jnp.sum(rays)), None
 
     zeros = (pix_x + pix_y).astype(jnp.float32) * 0.0
     (total, nrays), _ = jax.lax.scan(

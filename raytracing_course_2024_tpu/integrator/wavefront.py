@@ -101,20 +101,9 @@ def _use_megakernel(cfg: TraceConfig, scn, statics) -> bool:
     the regeneration schedule feeds the kernel's stream. Statistically the
     estimator is unchanged (any seeded stream is parity; the reference has
     per-row Xoshiro, src/rendering.rs:50-51)."""
-    import os
+    from .path import _mega_gate
 
-    if not (
-        cfg.backend == "dense"
-        and not cfg.faithful
-        and not cfg.rr
-        and cfg.sampler in ("auto", "pallas")
-        and os.environ.get("RT_MEGAKERNEL", "1") != "0"
-        and jax.default_backend() == "tpu"
-    ):
-        return False
-    from ..ops.pallas_bounce import megakernel_eligible
-
-    return megakernel_eligible(statics, scn)
+    return _mega_gate(cfg, scn, statics)
 
 
 def _make_bounce_core(cfg: TraceConfig, scn: SceneArrays, statics: SceneStatics):

@@ -502,6 +502,142 @@ def pack_camera_row(cam) -> jnp.ndarray:
     return row[None, :]
 
 
+def _primary_kernel(statics: SceneStatics, spec: tuple, k_tries: int,
+                    bg: tuple, width: int, height: int,
+                    seed_ref, cam_ref, px_ref, py_ref, geo, lp_ref,
+                    o_rox, o_roy, o_roz, o_rdx, o_rdy, o_rdz,
+                    o_tx, o_ty, o_tz, o_radx, o_rady, o_radz, o_aliv):
+    """Camera jitter + the FIRST full bounce in one kernel (the batch
+    engine's bounce 0): the XLA generate_rays fusion (threefry jitter
+    sweep + NDC math) folds into the same VMEM pass as the intersect.
+    Camera math matches ops/camera.py generate_rays_u exactly; jitter
+    draws come from the kernel PRNG stream (drawn BEFORE the sampling
+    stage's draws)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+    unif = make_unif(BLK)
+
+    zero = px_ref[:] * 0.0
+    u0, u1 = unif(), unif()
+    sx = (2.0 * (px_ref[:] + u0) / width - 1.0) * cam_ref[0, _CAM_TANX]
+    sy = -(2.0 * (py_ref[:] + u1) / height - 1.0) * cam_ref[0, _CAM_TANY]
+
+    def axis(i):
+        return (
+            sx * cam_ref[0, _CAM_RIGHT + i]
+            + sy * cam_ref[0, _CAM_UP + i]
+            + cam_ref[0, _CAM_FWD + i]
+        )
+
+    rd = Vec3(axis(0), axis(1), axis(2)).normalize()
+    ro = Vec3(zero + cam_ref[0, _CAM_POS], zero + cam_ref[0, _CAM_POS + 1],
+              zero + cam_ref[0, _CAM_POS + 2])
+    one = zero + 1.0
+    thr = Vec3(one, one, one)
+    rad = Vec3(zero, zero, zero)
+    alive = zero < 1.0  # all lanes start a fresh path
+
+    point, l, thr, rad, new_alive = _bounce_math(
+        statics, spec, k_tries, bg, unif, geo, lp_ref,
+        ro, rd, thr, rad, alive,
+    )
+
+    o_rox[:] = point.x
+    o_roy[:] = point.y
+    o_roz[:] = point.z
+    o_rdx[:] = l.x
+    o_rdy[:] = l.y
+    o_rdz[:] = l.z
+    o_tx[:] = thr.x
+    o_ty[:] = thr.y
+    o_tz[:] = thr.z
+    o_radx[:] = rad.x
+    o_rady[:] = rad.y
+    o_radz[:] = rad.z
+    o_aliv[:] = new_alive.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("statics", "k_tries", "bg", "width", "height",
+                     "interpret"),
+)
+def _run_primary(seed, cam_row, px, py, geo, lp, statics, k_tries, bg,
+                 width, height, interpret):
+    b = px.shape[0]
+    vma = vma_union(seed, cam_row, px, py, geo, lp)
+    seed = cast_to_vma(seed, vma)
+    cam_row = cast_to_vma(cam_row, vma)
+    px = cast_to_vma(px, vma)
+    py = cast_to_vma(py, vma)
+    geo = cast_to_vma(geo, vma)
+    lp = cast_to_vma(lp, vma)
+    grid = (b // BLK,)
+    ray_spec = pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ray_spec,
+        ray_spec,
+        pl.BlockSpec(geo.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(lp.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out = pl.pallas_call(
+        functools.partial(_primary_kernel, statics, statics.mega_spec,
+                          k_tries, bg, width, height),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[ray_spec] * 13,
+        out_shape=[
+            jax.ShapeDtypeStruct((b,), jnp.float32, vma=vma)
+            for _ in range(13)
+        ],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, cam_row, px, py, geo, lp)
+    return out
+
+
+def primary_bounce_pallas(
+    key: jax.Array,
+    pix_x: jnp.ndarray,
+    pix_y: jnp.ndarray,
+    cam,
+    scn: SceneArrays,
+    statics: SceneStatics,
+    bg: tuple,
+    max_tries: int,
+    width: int,
+    height: int,
+    geo: jnp.ndarray | None = None,
+):
+    """Camera-fused bounce 0: returns (ro', rd', thr, rad, alive) for a
+    fresh path per lane through pixel (pix_x, pix_y)."""
+    b = pix_x.shape[0]
+    pad = (-b) % BLK
+    px = pix_x.astype(jnp.float32)
+    py = pix_y.astype(jnp.float32)
+    if pad:
+        px = jnp.pad(px, (0, pad))
+        py = jnp.pad(py, (0, pad))
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = (kd[0] ^ (kd[1] * jnp.uint32(40503))).astype(jnp.int32)[None]
+    if geo is None:
+        geo = build_geo_rows(scn, statics)
+    cam_row = pack_camera_row(cam)
+    interpret = jax.default_backend() != "tpu"
+    out = _run_primary(
+        seed, cam_row, px, py, geo, scn.light_packed, statics, max_tries,
+        tuple(float(c) for c in bg), width, height, interpret,
+    )
+    out = [c[:b] for c in out]
+    return (
+        Vec3(out[0], out[1], out[2]),
+        Vec3(out[3], out[4], out[5]),
+        Vec3(out[6], out[7], out[8]),
+        Vec3(out[9], out[10], out[11]),
+        out[12] > 0.5,
+    )
+
+
 def _persistent_kernel(statics: SceneStatics, spec: tuple, k_tries: int,
                        bg: tuple, ray_depth: int, width: int, height: int,
                        seed_ref, cam_ref,

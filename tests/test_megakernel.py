@@ -388,6 +388,137 @@ def test_final_only_epilogue_matches_collect():
         )
 
 
+# --- camera-fused primary bounce (round 4, batch engine) -------------------
+
+
+def _kernel_first_draws(key, n_draws: int):
+    """First ``n_draws`` uniforms of the megakernel PRNG stream for grid
+    block 0, using the exact seeding expression of the production kernels
+    (pallas_bounce seed derivation + prng_seed mix)."""
+    import functools
+
+    import jax.experimental.pallas as pl
+    import jax.experimental.pallas.tpu as pltpu
+
+    from raytracing_course_2024_tpu.ops.pallas_bounce import BLK
+    from raytracing_course_2024_tpu.ops.pallas_sampling import make_unif
+
+    def kern(seed_ref, *outs):
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527)
+        )
+        unif = make_unif(BLK)
+        for o in outs:
+            o[:] = unif()
+
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    seed = (kd[0] ^ (kd[1] * jnp.uint32(40503))).astype(jnp.int32)[None]
+    ray_spec = pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(1,),
+        in_specs=[pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM)],
+        out_specs=[ray_spec] * n_draws,
+        out_shape=[
+            jax.ShapeDtypeStruct((BLK,), jnp.float32) for _ in range(n_draws)
+        ],
+        interpret=(
+            pltpu.InterpretParams()
+            if jax.default_backend() != "tpu"
+            else False
+        ),
+    )(seed)
+
+
+def test_primary_bounce_camera_fusion_interpret():
+    """Camera-fused bounce 0 (primary_bounce_pallas): extract the kernel
+    PRNG's first two draws with a probe kernel, rebuild the exact jittered
+    camera ray via the XLA generate_rays_u, and pin the RNG-independent
+    stages -- NDC camera math, hit points, emission accumulation -- against
+    the XLA intersect/detail pipeline. One grid block (b == BLK) so the
+    probe's stream is the kernel's."""
+    from raytracing_course_2024_tpu.ops.camera import generate_rays_u
+    from raytracing_course_2024_tpu.ops.pallas_bounce import (
+        BLK,
+        primary_bounce_pallas,
+    )
+    from raytracing_course_2024_tpu.ops.scene_intersect import (
+        nearest_hit_dense,
+        surface_detail,
+    )
+
+    w, h = 128, 64
+    assert w * h == BLK
+    desc, arrays, statics = _cornell(w, h, 2)
+    cam = camera_arrays(desc.settings.camera)
+    b = w * h
+    idx = jnp.arange(b, dtype=jnp.int32)
+    px, py = idx % w, idx // w
+    key = jax.random.PRNGKey(3)
+
+    ro2, rd2, thr, rad, alive2 = primary_bounce_pallas(
+        key, px, py, cam, arrays, statics, (0.0, 0.0, 0.0), 4, w, h
+    )
+
+    # the kernel's camera jitter is draws 0 and 1 of its PRNG stream
+    u0, u1 = _kernel_first_draws(key, 2)
+    ro_w, rd_w = generate_rays_u(cam, px, py, w, h, u0, u1)
+    hit = nearest_hit_dense(ro_w, rd_w, arrays, statics)
+    surf = surface_detail(ro_w, rd_w, hit, arrays, statics)
+
+    valid = np.asarray(hit.valid)
+    assert valid.mean() > 0.9  # nearly every primary ray hits the box
+    # emission/background accumulation through the fused camera ray matches
+    # XLA exactly (bg here is 0, so missing lanes accumulate 0)
+    for got, want in ((rad.x, surf.emission.x), (rad.z, surf.emission.z)):
+        assert np.allclose(
+            np.asarray(got), np.where(valid, np.asarray(want), 0.0),
+            atol=1e-5,
+        )
+    # hit points (= next origins; Cornell is all-diffuse) match -> pins the
+    # NDC math, the basis projection, and the normalize inside the kernel
+    a2 = np.asarray(alive2)
+    assert a2.mean() > 0.5
+    for got, want in ((ro2.x, surf.point.x), (ro2.y, surf.point.y),
+                      (ro2.z, surf.point.z)):
+        assert np.allclose(
+            np.asarray(got)[a2], np.asarray(want)[a2], atol=1e-4
+        )
+    # continuation directions are unit
+    nrm = np.asarray(rd2.dot(rd2))
+    assert np.allclose(nrm[a2], 1.0, atol=1e-4)
+    # lanes killed by sampling carry zero throughput
+    assert np.all(np.asarray(thr.x)[~a2] == 0.0)
+
+
+def test_trace_paths_mega_primary_plumbing():
+    """Full camera-fused sample (_trace_paths_mega_primary) in interpret
+    mode: shapes, finiteness, and the path-vertex accounting bounds
+    (every lane traces the camera bounce; at most ray_depth levels)."""
+    from raytracing_course_2024_tpu.integrator.path import (
+        _trace_paths_mega_primary,
+    )
+    from raytracing_course_2024_tpu.ops.pallas_bounce import build_geo_rows
+
+    desc, arrays, statics = _cornell(64, 36, 2)
+    cam = camera_arrays(desc.settings.camera)
+    b = 64 * 36
+    idx = jnp.arange(b, dtype=jnp.int32)
+    cfg = TraceConfig(ray_depth=4, bg_color=(0.0, 0.0, 0.0))
+    geo = build_geo_rows(arrays, statics)
+    rad, rays = _trace_paths_mega_primary(
+        jax.random.PRNGKey(7), idx % 64, idx // 64, cam, arrays, statics,
+        cfg, 64, 36, geo,
+    )
+    r = np.asarray(rays)
+    assert r.shape == (b,)
+    assert (r >= 1.0).all() and (r <= cfg.ray_depth).all()
+    assert (r > 1.0).any()  # some paths survived past the camera bounce
+    for c in (rad.x, rad.y, rad.z):
+        assert np.isfinite(np.asarray(c)).all()
+        assert (np.asarray(c) >= 0.0).all()
+
+
 @pytest.mark.skipif(
     not (
         os.environ.get("RT_TEST_MEGAKERNEL") or os.environ.get("RT_TEST_TPU")
