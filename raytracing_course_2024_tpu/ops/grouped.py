@@ -442,11 +442,26 @@ def nearest_hit_grouped(
     b = b_in
     cap2 = max(((b // _cap2_div()) // BLOCK) * BLOCK, BLOCK)
 
-    # 1. cull -> crossing bits + full per-treelet counts
-    words, full_counts = _cull_bits(ro, rd, ga, tmin)
+    # 1 + 2a. cull -> crossing bits + full per-treelet counts, then pop the
+    # first K1 crossings per ray. On TPU both run fused in one Pallas
+    # kernel (ops/pallas_cull.cull_pop_pallas): the packed words stay in
+    # VMEM through the pop and only the k1 tids + the residual words reach
+    # HBM (RT_CULL_POP=0 opts back to cull kernel + XLA pop).
+    import os as _os
 
-    # 2a. main tier: first K1 crossings per ray
-    tid_k1, m = _pop_k(words, k1)
+    if (
+        jax.default_backend() == "tpu"
+        and not _os.environ.get("RT_NO_PALLAS")
+        and _os.environ.get("RT_CULL_POP", "1") != "0"
+        and getattr(ga, "aabb_t", None) is not None
+        and isinstance(tmin, (int, float))
+    ):
+        from .pallas_cull import cull_pop_pallas
+
+        tid_k1, m, full_counts = cull_pop_pallas(ro, rd, ga, float(tmin), k1)
+    else:
+        words, full_counts = _cull_bits(ro, rd, ga, tmin)
+        tid_k1, m = _pop_k(words, k1)
     counts1 = full_counts - _count_rows(m, tp)
 
     # 2b. straggler tier, SAME sweep: rays with more than K1 crossings are

@@ -104,6 +104,83 @@ def test_cull_bits_pallas_matches_xla():
     assert np.array_equal(np.asarray(c_ref), np.asarray(c_pl))
 
 
+def test_cull_pop_pallas_matches_xla():
+    """The fused cull+pop kernel (cull_pop_pallas, interpret mode) is
+    bit-identical to _cull_bits followed by _pop_k: same popped tids in
+    the same (ascending-bit) order, same residual words, same full
+    per-treelet counts -- including NaN padding treelets, padded rays,
+    and rays with fewer than k1 crossings (tid -1 tail)."""
+    import os
+    from raytracing_course_2024_tpu.ops.grouped import _cull_bits, _pop_k
+    from raytracing_course_2024_tpu.ops.pallas_cull import cull_pop_pallas
+    from raytracing_course_2024_tpu.ops.vec import Vec3
+
+    rng = np.random.default_rng(17)
+    t, slots = 70, 32  # Tp pads to 96 (32-mult), Tpp to 128
+    aabb, blocks = _fabricate(rng, t, slots)
+    ga = build_grouped(aabb, blocks)
+
+    b = 700  # not a multiple of the kernel tile -> exercises ray padding
+    o = rng.uniform(-8, 8, (b, 3)).astype(np.float32)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    rd = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    ga_j = type(ga)(*(jnp.asarray(f) if f is not None else None for f in ga))
+    k1 = 4
+    os.environ["RT_NO_PALLAS"] = "1"  # force the XLA reference path
+    try:
+        w_ref, c_ref = _cull_bits(ro, rd, ga_j, 0.25)
+        tid_ref, m_ref = _pop_k(w_ref, k1)
+    finally:
+        del os.environ["RT_NO_PALLAS"]
+    tid_pl, m_pl, c_pl = cull_pop_pallas(ro, rd, ga_j, 0.25, k1,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(tid_ref), np.asarray(tid_pl))
+    assert np.array_equal(np.asarray(m_ref), np.asarray(m_pl))
+    assert np.array_equal(np.asarray(c_ref), np.asarray(c_pl))
+    # sanity: some rays actually popped bits and some carry a -1 tail
+    tids = np.asarray(tid_pl)
+    assert (tids >= 0).any() and (tids == -1).any()
+
+
+def test_cull_pop_pallas_multichunk():
+    """Same bit-equality with Tpp > TC (exercises the in-kernel treelet
+    chunk loop and the half-grouped selection-matrix row offsets)."""
+    import os
+    from raytracing_course_2024_tpu.ops.grouped import _cull_bits, _pop_k
+    from raytracing_course_2024_tpu.ops.pallas_cull import TC, cull_pop_pallas
+    from raytracing_course_2024_tpu.ops.vec import Vec3
+
+    rng = np.random.default_rng(19)
+    t, slots = 600, 4  # Tp pads to 608, Tpp to 640 > TC=512 -> two chunks
+    aabb, blocks = _fabricate(rng, t, slots)
+    ga = build_grouped(aabb, blocks)
+    assert ga.aabb_t.shape[0] > TC
+
+    b = 512
+    o = rng.uniform(-8, 8, (b, 3)).astype(np.float32)
+    d = rng.normal(size=(b, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ro = Vec3(*(jnp.asarray(o[:, i]) for i in range(3)))
+    rd = Vec3(*(jnp.asarray(d[:, i]) for i in range(3)))
+
+    ga_j = type(ga)(*(jnp.asarray(f) if f is not None else None for f in ga))
+    k1 = 3  # odd pop count: exercises the sublane-padded tid output
+    os.environ["RT_NO_PALLAS"] = "1"
+    try:
+        w_ref, c_ref = _cull_bits(ro, rd, ga_j, 0.0)
+        tid_ref, m_ref = _pop_k(w_ref, k1)
+    finally:
+        del os.environ["RT_NO_PALLAS"]
+    tid_pl, m_pl, c_pl = cull_pop_pallas(ro, rd, ga_j, 0.0, k1,
+                                         interpret=True)
+    assert np.array_equal(np.asarray(tid_ref), np.asarray(tid_pl))
+    assert np.array_equal(np.asarray(m_ref), np.asarray(m_pl))
+    assert np.array_equal(np.asarray(c_ref), np.asarray(c_pl))
+
+
 def test_block_mt_pallas_split_modes():
     """Manual bf16 hi/lo split modes (split3/split4) stay within their
     analytic error bounds of the f32 XLA sweep (interpret mode emulates
