@@ -92,6 +92,26 @@ CAP2_DIV = 8  # virtual-tier width = B // CAP2_DIV, rounded to BLOCK.
 # 7-8%, fresh primaries 9.4% on practice7_3) -- B/8 keeps the whole tail
 # in the ONE combined sweep; B/16 overflowed it in-engine and every
 # bounce paid residual waves.
+K2B = 0  # optional THIRD static tier riding the same sweep: rays still
+# carrying bits after K1+K2 are re-compacted (capacity B // CAP2B_DIV)
+# and pop K2B more. With (K1=4, K2=8, K2B=20) the p99 tail (5-12
+# crossings) fits tier 2 and the p100 tail (<= 32) fits tier 2b, cutting
+# total sort/test rows ~35% vs K2=28 (rows = B*(K1 + K2/CAP2_DIV +
+# K2B/CAP2B_DIV)) while the steady state stays wave-free. Default OFF
+# (0) until the hardware A/B lands (RT_K2B/RT_CAP2B_DIV select).
+CAP2B_DIV = 64
+
+
+def _k2b() -> int:
+    import os
+
+    return int(os.environ.get("RT_K2B", str(K2B)))
+
+
+def _cap2b_div() -> int:
+    import os
+
+    return int(os.environ.get("RT_CAP2B_DIV", str(CAP2B_DIV)))
 
 
 def _k1() -> int:
@@ -489,20 +509,54 @@ def nearest_hit_grouped(
     ray_virt = jnp.broadcast_to(
         b + jnp.arange(cap2, dtype=jnp.int32)[None, :], (k2, cap2)
     ).reshape(-1)
-    comp_cols = tuple(
-        jnp.concatenate(
-            [
-                jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1),
-                jnp.broadcast_to(s[None, :], (k2, cap2)).reshape(-1),
-            ]
+    tid_parts = [tid_k1.reshape(-1), tid_k2.reshape(-1)]
+    ray_parts = [ray_main, ray_virt]
+    comp_parts = [
+        (
+            jnp.broadcast_to(c[None, :], (k1, b)).reshape(-1),
+            jnp.broadcast_to(s[None, :], (k2, cap2)).reshape(-1),
         )
         for c, s in zip(comps, sub_c)
+    ]
+    counts_all = counts1 + counts2
+
+    # 2c. optional tier-2b (module doc): rays still carrying bits after
+    # K1+K2 re-compact (from the tier-2 compacted space) and pop K2B more
+    # bits into the SAME sweep, keeping the steady state wave-free at a
+    # much smaller row budget than a fat K2.
+    k2b = _k2b()
+    cap2b = (
+        max(((b // _cap2b_div()) // BLOCK) * BLOCK, BLOCK) if k2b else 0
     )
-    tid_col = jnp.concatenate([tid_k1.reshape(-1), tid_k2.reshape(-1)])
-    ray_col = jnp.concatenate([ray_main, ray_virt])
+    if k2b:
+        has_more2 = jnp.any(sub_rem != 0, axis=0) & live2  # (cap2,)
+        idx2b = jnp.nonzero(has_more2, size=cap2b, fill_value=cap2)[0]
+        safe2b = jnp.minimum(idx2b, cap2 - 1)
+        live2b = idx2b < cap2
+        sub_m2 = jnp.where(live2b[None, :], sub_rem[:, safe2b], jnp.uint32(0))
+        tid_k2b, sub_rem2 = _pop_k(sub_m2, k2b)
+        counts_all = counts_all + (
+            _count_rows(sub_m2, tp) - _count_rows(sub_rem2, tp)
+        )
+        sub_c2 = tuple(jnp.where(live2b, s[safe2b], 0.0) for s in sub_c)
+        tid_parts.append(tid_k2b.reshape(-1))
+        ray_parts.append(
+            jnp.broadcast_to(
+                b + cap2 + jnp.arange(cap2b, dtype=jnp.int32)[None, :],
+                (k2b, cap2b),
+            ).reshape(-1)
+        )
+        comp_parts = [
+            parts + (jnp.broadcast_to(s2[None, :], (k2b, cap2b)).reshape(-1),)
+            for parts, s2 in zip(comp_parts, sub_c2)
+        ]
+
+    tid_col = jnp.concatenate(tid_parts)
+    ray_col = jnp.concatenate(ray_parts)
+    comp_cols = tuple(jnp.concatenate(parts) for parts in comp_parts)
     t_flat, i_flat = _sweep(
-        ga, tid_col, ray_col, comp_cols, counts1 + counts2, slots, tp,
-        tmin, b + cap2,
+        ga, tid_col, ray_col, comp_cols, counts_all, slots, tp,
+        tmin, b + cap2 + cap2b,
     )
     best_t, best_idx = _row_min(
         t_flat[: k1 * b].reshape(b, k1), i_flat[: k1 * b].reshape(b, k1)
@@ -518,19 +572,40 @@ def nearest_hit_grouped(
     best_idx = best_idx.at[idx2].set(
         jnp.where(take, v_i, best_idx[safe2]), mode="drop"
     )
+    if k2b:
+        # merge AFTER tier 2 so tier-2b rows compare against the
+        # post-tier-2 best of their ray
+        off = k1 * b + k2 * cap2
+        v2b_t, v2b_i = _row_min(
+            t_flat[off : off + k2b * cap2b].reshape(cap2b, k2b),
+            i_flat[off : off + k2b * cap2b].reshape(cap2b, k2b),
+        )
+        orig = jnp.where(live2b, idx2[safe2b], b)  # original ray ids
+        orig_safe = jnp.minimum(orig, b - 1)
+        take2b = live2b & (v2b_t < best_t[orig_safe])
+        best_t = best_t.at[orig].set(
+            jnp.where(take2b, v2b_t, best_t[orig_safe]), mode="drop"
+        )
+        best_idx = best_idx.at[orig].set(
+            jnp.where(take2b, v2b_i, best_idx[orig_safe]), mode="drop"
+        )
 
-    # residual waves (rare): stragglers that overflowed the cap2
-    # compaction, or carried more than K1+K2 crossings, drain through
-    # compacted best_t-pruned waves. ``m`` stays READ-ONLY (a minor-axis
-    # scatter back into the (W, B) words lowered to a catastrophic
-    # (cap2, B) dynamic-update-slice), so progress is tracked by a (B,)
-    # processed flag; a re-compacted overflow ray re-pops from ``m`` and
-    # re-tests its tier-2 treelets -- idempotent for an exhaustive min.
-    over = (
-        jnp.zeros((b,), bool)
-        .at[idx2]
-        .set(jnp.any(sub_rem != 0, axis=0) & live2, mode="drop")
-    )
+    # residual waves (rare): stragglers that overflowed the cap2/cap2b
+    # compactions, or carried more than K1+K2(+K2B) crossings, drain
+    # through compacted best_t-pruned waves. ``m`` stays READ-ONLY (a
+    # minor-axis scatter back into the (W, B) words lowered to a
+    # catastrophic (cap2, B) dynamic-update-slice), so progress is tracked
+    # by a (B,) processed flag; a re-compacted overflow ray re-pops from
+    # ``m`` and re-tests its tier-2(+2b) treelets -- idempotent for an
+    # exhaustive min.
+    if k2b:
+        drained2b = jnp.zeros((cap2,), bool).at[idx2b].set(
+            live2b & ~jnp.any(sub_rem2 != 0, axis=0), mode="drop"
+        )
+        over2 = jnp.any(sub_rem != 0, axis=0) & live2 & ~drained2b
+    else:
+        over2 = jnp.any(sub_rem != 0, axis=0) & live2
+    over = jnp.zeros((b,), bool).at[idx2].set(over2, mode="drop")
     compacted = jnp.zeros((b,), bool).at[idx2].set(live2, mode="drop")
     processed = (~has_more) | (compacted & ~over)
     cap3 = max(((b // 64) // BLOCK) * BLOCK, BLOCK)

@@ -251,6 +251,35 @@ def test_grouped_residual_waves(rng, monkeypatch):
     )
 
 
+def test_grouped_tier2b_matches_dense(rng, monkeypatch):
+    """The optional third static tier (RT_K2B) produces the exhaustive
+    result: a sane sizing where tier 2b catches the tail wave-free, AND a
+    starved sizing (tiny pops + BLOCK-floored caps) that forces flow
+    through tier 2b into the residual waves."""
+    desc = _soup_desc(rng, n=2100)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = attach_bvh(arrays, statics)
+    arrays_j = jax.tree.map(jnp.asarray, arrays)
+    ro, rd = _rand_rays(rng, 4096)
+    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
+    both = np.asarray(hd.valid)
+
+    monkeypatch.setenv("RT_TRAVERSE", "grouped")
+    for k1, k2, c2, k2b, c2b in ((4, 8, 8, 20, 64), (1, 1, 1000000, 2, 1000000)):
+        monkeypatch.setenv("RT_K1", str(k1))
+        monkeypatch.setenv("RT_K2", str(k2))
+        monkeypatch.setenv("RT_CAP2_DIV", str(c2))
+        monkeypatch.setenv("RT_K2B", str(k2b))
+        monkeypatch.setenv("RT_CAP2B_DIV", str(c2b))
+        hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+        cfg = (k1, k2, c2, k2b, c2b)
+        assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid)), cfg
+        assert np.allclose(
+            np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5,
+            atol=1e-5,
+        ), cfg
+
+
 def test_kd_partition_matches_dense(rng, monkeypatch):
     """The disjoint kd-cell partition (RT_PARTITION=kd, with triangle
     duplication) produces the same nearest hits on both backends."""
