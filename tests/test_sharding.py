@@ -309,6 +309,21 @@ def test_grouped_sharded_matches_single_device(monkeypatch):
         img_sh - img_1
     ).max()
 
+    # tier-2b (RT_K2B) adds a second compaction + scatter-merge layer:
+    # same vma rules, same exhaustive result under the mesh
+    monkeypatch.setenv("RT_K1", "1")
+    monkeypatch.setenv("RT_K2", "2")
+    monkeypatch.setenv("RT_K2B", "3")
+    img_2b = hw3(
+        render_frame_sharded(
+            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
+            w, h, spp, make_mesh(4, 2), engine="wavefront",
+        )
+    )
+    assert np.allclose(img_2b, img_1, rtol=1e-4, atol=1e-5), np.abs(
+        img_2b - img_1
+    ).max()
+
 
 def test_checkpoint_resume_under_sharded_render(tmp_path):
     """VERDICT r3 next #8: checkpoint/resume MID-FRAME on the 8-device
