@@ -31,9 +31,10 @@ tunneled single-chip relay is an environment artifact, not renderer cost
 frames exactly like the chained program. Dispatched numbers stay in the
 comment lines.
 
-Claim handling: the device claim is probed in bounded subprocesses and
-retried for RT_BENCH_CLAIM_WINDOW s (default 2700) before the bench emits
-a structured error line (VERDICT r3 weak #2).
+Claim handling: the device claim is probed in bounded subprocesses
+(SIGTERM-first on timeout) and retried for RT_BENCH_CLAIM_WINDOW s
+(default 900 -- must fit the driver's ~30-min kill budget, VERDICT r4)
+with a JSON heartbeat line per failed probe, then a structured error line.
 
 Env knobs: RT_BENCH_{SCENE,W,H,SPP,BATCH,REPS,MATRIX,FULL,CHAINED,
 CHAIN_FRAMES,CLAIM_WINDOW,CLAIM_TIMEOUT}.
@@ -228,7 +229,11 @@ def _claim_watchdog():
     import subprocess
     import threading
 
-    window_s = float(os.environ.get("RT_BENCH_CLAIM_WINDOW", "2700"))
+    # Window default must fit INSIDE the driver's kill budget (~30 min
+    # observed: round 4's 2700-s window was SIGKILLed with 960 s left,
+    # leaving a bare rc=124 record -- VERDICT r4 weak #4). 900 s of retry
+    # leaves the bench itself time to run after a late-successful claim.
+    window_s = float(os.environ.get("RT_BENCH_CLAIM_WINDOW", "900"))
     probe_timeout = float(os.environ.get("RT_BENCH_CLAIM_TIMEOUT", "300"))
     probe = (
         "import jax, jax.numpy as jnp; "
@@ -238,14 +243,25 @@ def _claim_watchdog():
     attempt = 0
     while True:
         attempt += 1
+        timed_out = False
+        # graceful termination: subprocess.run(timeout=) SIGKILLs, and a
+        # SIGKILLed claim wedges the chip for minutes (ADVICE r4) -- send
+        # SIGTERM first and give the probe a grace period to release.
+        proc = subprocess.Popen(
+            [sys.executable, "-c", probe],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
         try:
-            rc = subprocess.run(
-                [sys.executable, "-c", probe],
-                timeout=probe_timeout,
-                stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
-            ).returncode
+            rc = proc.wait(timeout=probe_timeout)
         except subprocess.TimeoutExpired:
+            timed_out = True
+            proc.terminate()
+            try:
+                proc.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
             rc = -1
         if rc == 0:
             break
@@ -264,12 +280,26 @@ def _claim_watchdog():
                 flush=True,
             )
             sys.exit(3)
+        # JSON heartbeat on stdout: if the driver SIGKILLs us mid-window,
+        # the record still ends in a parseable line (VERDICT r4 next #6).
         print(
-            f"# claim probe {attempt} failed; retrying "
-            f"({deadline - time.monotonic():.0f}s left in window)",
-            file=sys.stderr, flush=True,
+            json.dumps({
+                "metric": "bench heartbeat: TPU claim probe failed",
+                "value": 0.0,
+                "unit": "Mrays/s",
+                "vs_baseline": 0.0,
+                "error": (
+                    f"probe {attempt} "
+                    f"{'timed out' if timed_out else 'failed'}; "
+                    f"{deadline - time.monotonic():.0f}s left in window"
+                ),
+            }),
+            flush=True,
         )
-        time.sleep(min(60.0, max(0.0, deadline - time.monotonic())))
+        # a timed-out (vs cleanly failed) probe may have wedged the relay;
+        # back off longer so the next probe doesn't hit the wedge window
+        pause = 120.0 if timed_out else 60.0
+        time.sleep(min(pause, max(0.0, deadline - time.monotonic())))
 
     armed = threading.Event()
 

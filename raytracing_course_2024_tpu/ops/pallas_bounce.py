@@ -104,6 +104,10 @@ def build_geo_rows(scn: SceneArrays, statics: SceneStatics) -> jnp.ndarray:
     )
     geo = jnp.stack(rows)
     assert geo.shape[0] == C_GEO
+    # build_scene_arrays pads prim arrays to >=1 row when num_prims == 0;
+    # statics.mega_spec has no entry for that padding, so slice to the real
+    # count or every plane entry reads the previous column's geometry.
+    geo = geo[:, : statics.num_prims]
     n_pl = statics.num_planes
     if n_pl:
         sl = slice(0, n_pl)
@@ -357,7 +361,9 @@ def _bounce_math(statics, spec, k_tries, bg, unif, geo, lp_ref,
     # --- 5. continuation: BRDF weight + delta rules + state update ---------
     f = eval_brdf(l, n_geom, v_dir, color, metallic, roughness, mkind)
     cos_l = jnp.maximum(l.dot(n_geom), 0.0)
-    w = f * (cos_l / pdf)
+    # clamp like integrator/path.py _finish_bounce: a zero pdf on a
+    # surviving sampled lane must not inject inf/NaN throughput
+    w = f * (cos_l / jnp.maximum(pdf, 1e-20))
 
     any_mirror = any(m == MIRROR for _, _, m in spec)
     any_diel = any(m == DIELECTRIC for _, _, m in spec)

@@ -346,6 +346,75 @@ def test_mixed_bounce_matches_xla_stages():
         )
 
 
+PLANES_ONLY_SCENE = """
+DIMENSIONS 32 24
+RAY_DEPTH 3
+SAMPLES 4
+BG_COLOR 0.2 0.3 0.5
+CAMERA_POSITION 0 1 6
+CAMERA_RIGHT 1 0 0
+CAMERA_UP 0 1 0
+CAMERA_FORWARD 0 0 -1
+CAMERA_FOV_X 1.2
+
+NEW_PRIMITIVE
+PLANE 0 1 0
+POSITION 0 -2 0
+COLOR 0.7 0.6 0.5
+
+NEW_PRIMITIVE
+PLANE 0 0 1
+POSITION 0 0 -5
+ROTATION 0 0.0871557 0 0.9961947
+COLOR 0.3 0.5 0.8
+"""
+
+
+def test_planes_only_scene_megakernel_alignment():
+    """Zero finite primitives: build_scene_arrays pads prim arrays to one
+    row, which mega_spec omits -- the geo table must slice it away or every
+    plane entry reads the padding column's geometry (advisor round-4 high
+    finding). Pin the kernel's intersect/emission stages against the XLA
+    pipeline on a planes-only scene."""
+    from raytracing_course_2024_tpu.ops.pallas_bounce import build_geo_rows
+    from raytracing_course_2024_tpu.ops.scene_intersect import (
+        nearest_hit_dense,
+        surface_detail,
+    )
+    from raytracing_course_2024_tpu.scene import parse_text_scene
+
+    desc = parse_text_scene(PLANES_ONLY_SCENE)
+    arrays, statics = build_scene_arrays(desc)
+    arrays = jax.tree.map(
+        lambda x: jnp.asarray(x) if x is not None else None, arrays
+    )
+    assert statics.num_prims == 0 and statics.num_planes == 2
+    assert megakernel_eligible(statics, arrays)
+    geo = build_geo_rows(arrays, statics)
+    assert geo.shape[1] == len(statics.mega_spec) == 2
+
+    cam = camera_arrays(desc.settings.camera)
+    w, h = 32, 24
+    b = w * h
+    idx = jnp.arange(b, dtype=jnp.int32)
+    key = jax.random.PRNGKey(3)
+    ro, rd = generate_rays(cam, idx % w, idx // w, w, h, key)
+    ones = jnp.ones((b,))
+    zeros = jnp.zeros((b,))
+    ro2, rd2, thr, rad, alive2 = bounce_pallas(
+        key, ro, rd, Vec3(ones, ones, ones), Vec3(zeros, zeros, zeros),
+        ones > 0.0, arrays, statics, tuple(desc.settings.bg_color),
+    )
+    hit = nearest_hit_dense(ro, rd, arrays, statics)
+    surf = surface_detail(ro, rd, hit, arrays, statics)
+    valid = np.asarray(hit.valid)
+    assert valid.sum() > 100  # both planes actually hit
+    want = np.where(valid, np.asarray(surf.emission.x), desc.settings.bg_color[0])
+    assert np.allclose(np.asarray(rad.x), want, atol=1e-5)
+    for c, sc in ((ro2.x, surf.point.x), (ro2.z, surf.point.z)):
+        assert np.allclose(np.asarray(c)[valid], np.asarray(sc)[valid], atol=1e-4)
+
+
 def test_final_only_epilogue_matches_collect():
     """final_only (the fused integrator epilogue) reproduces the XLA
     _collect_hit radiance exactly, on both the all-triangle Cornell box and
