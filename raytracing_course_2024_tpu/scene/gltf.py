@@ -64,7 +64,16 @@ def _load_buffers(doc: dict, base_dir: str) -> list:
         if uri.startswith("data:"):
             data = base64.b64decode(uri.split(",", 1)[1])
         else:
-            with open(os.path.join(base_dir, uri), "rb") as f:
+            path = os.path.join(base_dir, uri)
+            if not os.path.exists(path):
+                # fallback: the reconstructed practice6_1 wrapper lives in
+                # this repo but its .bin stays in the (read-only) reference
+                # scene dir -- resolve bare URIs against SCENES_DIR too
+                from . import SCENES_DIR
+
+                alt = os.path.join(SCENES_DIR, uri)
+                path = alt if os.path.exists(alt) else path
+            with open(path, "rb") as f:
                 data = f.read()
         buffers.append(np.frombuffer(data, dtype=np.uint8))
     return buffers

