@@ -206,7 +206,7 @@ def block_mt_pallas(
         num_scalar_prefetch=1,
         grid=(nbp // SUB,),
         in_specs=[ray_spec] * 6
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],  # geometry stays in HBM
+        + [pl.BlockSpec(memory_space=pl.ANY)],  # geometry stays in HBM
         out_specs=[ray_spec, ray_spec],
         scratch_shapes=[
             pltpu.VMEM((W_ROWS, 4 * slots), jnp.float32),

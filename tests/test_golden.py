@@ -76,6 +76,7 @@ def test_golden_catches_spatial_errors(goldens):
             golden_compare(np.ascontiguousarray(corrupted), img)
 
 
+@pytest.mark.slow
 def test_backend_agreement(scenes_dir):
     """Dense and treelet backends must agree within MC noise on the same
     scene (different estimators would indicate a traversal bug)."""

@@ -9,6 +9,7 @@ renders are deterministic per seed.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracing_course_2024_tpu.runtime.render import Renderer
 from raytracing_course_2024_tpu.scene import parse_text_scene
@@ -409,6 +410,7 @@ def test_faithful_acceptance_deviation_bounded_organic_mesh():
     assert np.abs(fast - faithful).mean() < 0.03, np.abs(fast - faithful).mean()
 
 
+@pytest.mark.slow
 def test_russian_roulette_unbiased():
     """RT_RR roulette (off by default -- the reference has none,
     rendering.rs:93-95) must leave the estimate unchanged within MC noise

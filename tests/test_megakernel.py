@@ -40,6 +40,7 @@ def test_eligibility():
     assert not statics.any_delta
 
 
+@pytest.mark.slow
 def test_plumbing_interpret():
     """One kernel bounce in interpret mode: state shapes, finiteness, and
     the intersect+emission stages (RNG-independent) match the XLA bounce."""
@@ -499,6 +500,7 @@ def _kernel_first_draws(key, n_draws: int):
     )(seed)
 
 
+@pytest.mark.slow
 def test_primary_bounce_camera_fusion_interpret():
     """Camera-fused bounce 0 (primary_bounce_pallas): extract the kernel
     PRNG's first two draws with a probe kernel, rebuild the exact jittered
@@ -560,6 +562,7 @@ def test_primary_bounce_camera_fusion_interpret():
     assert np.all(np.asarray(thr.x)[~a2] == 0.0)
 
 
+@pytest.mark.slow
 def test_trace_paths_mega_primary_plumbing():
     """Full camera-fused sample (_trace_paths_mega_primary) in interpret
     mode: shapes, finiteness, and the path-vertex accounting bounds

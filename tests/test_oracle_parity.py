@@ -102,6 +102,7 @@ def test_oracle_mini_scene_all_materials():
     _compare(desc, oracle_spp=48, prod_spp=512)
 
 
+@pytest.mark.slow
 def test_oracle_cornell_gltf(scenes_dir):
     """practice7_1 (glTF Cornell box, PBR materials, emissive light)."""
     from raytracing_course_2024_tpu.scene import load_scene
@@ -111,6 +112,7 @@ def test_oracle_cornell_gltf(scenes_dir):
     _compare(desc, oracle_spp=24, prod_spp=384)
 
 
+@pytest.mark.slow
 def test_oracle_smooth_mesh():
     """Smooth interpolated shading normals on a curved PBR mesh -- the
     n_geom/n_shade split where acceptance-rule bugs would hide."""
@@ -123,6 +125,7 @@ def test_oracle_smooth_mesh():
     _compare(desc, oracle_spp=24, prod_spp=384)
 
 
+@pytest.mark.slow
 def test_oracle_big_mesh(scenes_dir):
     """practice7_3 (99,950-triangle organic mesh): the estimator-level
     anchor for the big-scene class where the treelet/grouped traversal

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from conftest import scene_path
 from raytracing_course_2024_tpu.ops.pallas_intersect import (
@@ -44,6 +45,7 @@ def test_pallas_matches_xla_sweep(scenes_dir, rng, monkeypatch):
     assert (ids_match | ~valid).mean() > 0.999
 
 
+@pytest.mark.slow
 def test_pallas_used_in_renderer(scenes_dir):
     """The flagship scene's renderer actually routes through the kernel."""
     from raytracing_course_2024_tpu.runtime.render import Renderer

@@ -9,6 +9,7 @@ estimate within MC noise.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracing_course_2024_tpu.integrator.path import TraceConfig, render_pixels
 from raytracing_course_2024_tpu.ops.camera import camera_arrays
@@ -221,6 +222,7 @@ def test_multihost_mesh_layout():
     assert m.shape["tile"] == 4 and m.shape["spp"] == 2
 
 
+@pytest.mark.slow
 def test_wavefront_sharded_mesh_invariance():
     """The wavefront engine's RNG is keyed by GLOBAL (pixel, sample), so
     per-sample estimates are independent of the mesh factoring: an 8x1
@@ -247,6 +249,7 @@ def test_wavefront_sharded_mesh_invariance():
     ).max()
 
 
+@pytest.mark.slow
 def test_sticky_sharded_matches_wavefront():
     """The pixel-sticky engine under shard_map: same global work-item RNG,
     so a sticky sharded frame equals the counter-wavefront sharded frame
@@ -270,6 +273,7 @@ def test_sticky_sharded_matches_wavefront():
     ).max()
 
 
+@pytest.mark.slow
 def test_grouped_sharded_matches_single_device(monkeypatch):
     """Grouped traversal (sorts + compactions + scatter-merges) under
     shard_map: a 4x2 mesh frame of a BVH triangle-soup scene must match
@@ -325,6 +329,7 @@ def test_grouped_sharded_matches_single_device(monkeypatch):
     ).max()
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_under_sharded_render(tmp_path):
     """VERDICT r3 next #8: checkpoint/resume MID-FRAME on the 8-device
     mesh. A 16-spp frame renders in 4-spp chunks through ShardedRenderer
