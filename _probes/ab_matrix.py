@@ -1,0 +1,97 @@
+"""Hardware A/B driver: run bench_one under env-knob combos, one bounded
+TPU subprocess per combo (sequential -- single-chip rule), one JSON line
+per result.
+
+This is the round-5 traversal/kernel decision program (VERDICT r4 next
+#1-3, #5): megakernel/camera fusion, cull+pop, tier-2b, split precision,
+sticky engine, grouped-vs-treelet e2e on the big meshes, chained
+accounting on the small scenes. Results drive the ops/traverse.py default
+decision (ROUNDLOG_r03 rule).
+
+Usage: python _probes/ab_matrix.py [set]   # set in {kernels,traversal,all}
+Logs to stdout AND _probes/out/ab_<set>.jsonl.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_SRC = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["RT_REPO"])
+import bench
+res = bench.bench_one(sys.argv[1], int(sys.argv[2]), int(sys.argv[3]),
+                      int(sys.argv[4]), reps=int(os.environ.get("RT_BENCH_REPS", "3")),
+                      batch_cap=int(os.environ.get("RT_BENCH_BATCH", "1048576")))
+print("ABRESULT " + json.dumps(res), flush=True)
+"""
+
+# (label, env-overrides, scene, w, h, measure_spp)
+SMALL = ("practice3_1.txt", 640, 480, 16)
+P71 = ("practice7_1.gltf", 1280, 720, 16)
+P72 = ("practice7_2.gltf", 1280, 720, 4)
+P73 = ("practice7_3.gltf", 1280, 720, 4)
+
+KERNELS = [
+    ("71_default", {}, *P71),
+    ("71_no_megacam", {"RT_MEGA_CAM": "0"}, *P71),
+    ("71_no_mega", {"RT_MEGAKERNEL": "0"}, *P71),
+    ("71_sticky", {"RT_ENGINE": "sticky"}, *P71),
+    ("31_default_chained", {}, *SMALL),
+    ("31_no_megacam", {"RT_MEGA_CAM": "0"}, *SMALL),
+]
+
+TRAVERSAL = [
+    ("73_treelet", {}, *P73),
+    ("73_treelet_slots256", {"RT_SLOTS": "256"}, *P73),
+    ("73_grouped", {"RT_TRAVERSE": "grouped"}, *P73),
+    ("73_grouped_nocullpop", {"RT_TRAVERSE": "grouped", "RT_CULL_POP": "0"}, *P73),
+    ("73_grouped_k2b", {"RT_TRAVERSE": "grouped", "RT_K2B": "8"}, *P73),
+    ("73_grouped_split3", {"RT_TRAVERSE": "grouped", "RT_MT_PRECISION": "split3"}, *P73),
+    ("73_wavefront_treelet", {"RT_ENGINE": "wavefront"}, *P73),
+    ("73_wavefront_grouped", {"RT_ENGINE": "wavefront", "RT_TRAVERSE": "grouped"}, *P73),
+    ("72_treelet", {}, *P72),
+    ("72_grouped", {"RT_TRAVERSE": "grouped"}, *P72),
+]
+
+
+def run_one(label, envov, scene, w, h, spp, log):
+    from raytracing_course_2024_tpu.scene import SCENES_DIR
+    path = os.path.join(SCENES_DIR, scene)
+    if not os.path.exists(path):
+        path = os.path.join(REPO, "scenes", scene)
+    env = dict(os.environ, RT_REPO=REPO, **envov)
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", BENCH_SRC, path, str(w), str(h), str(spp)],
+            capture_output=True, text=True, timeout=2400, env=env)
+        lines = [l for l in p.stdout.splitlines() if l.startswith("ABRESULT ")]
+        rec = json.loads(lines[-1][9:]) if lines else {
+            "error": (p.stderr or p.stdout)[-1500:], "rc": p.returncode}
+    except subprocess.TimeoutExpired:
+        rec = {"error": "timeout 2400s"}
+    rec = {"ab": label, "env": envov, "probe_wall_s": round(time.time() - t0, 1), **rec}
+    line = json.dumps(rec)
+    print(line, flush=True)
+    log.write(line + "\n")
+    log.flush()
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
+              "all": KERNELS + TRAVERSAL}[which]
+    os.makedirs(os.path.join(REPO, "_probes", "out"), exist_ok=True)
+    with open(os.path.join(REPO, "_probes", "out", f"ab_{which}.jsonl"), "a") as log:
+        log.write(f"# run {time.strftime('%F %T')}\n")
+        for combo in combos:
+            run_one(*combo, log)
+
+
+if __name__ == "__main__":
+    main()
