@@ -279,7 +279,11 @@ def _intersect_all(spec: tuple, geo, ro: Vec3, rd: Vec3):
         bnx = jnp.where(take, cnx, bnx)
         bny = jnp.where(take, cny, bny)
         bnz = jnp.where(take, cnz, bnz)
-        best_outer = jnp.where(take, outer, best_outer)
+        # NB: jnp.where on i1 operands does not lower on real Mosaic
+        # ("Unsupported target bitwidth for truncation", i8->i1 trunci --
+        # found on hardware round 5; interpret mode accepts it). Pure
+        # logical ops select between bool vectors fine.
+        best_outer = (take & outer) | (~take & best_outer)
         best_tri = jnp.where(take, istri, best_tri)
 
     n_geom = Vec3(bnx, bny, bnz).normalize()
