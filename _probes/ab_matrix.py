@@ -87,6 +87,9 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
               "all": KERNELS + TRAVERSAL}[which]
+    if len(sys.argv) > 2:  # optional label filter for reruns
+        names = set(sys.argv[2:])
+        combos = [c for c in combos if c[0] in names]
     os.makedirs(os.path.join(REPO, "_probes", "out"), exist_ok=True)
     with open(os.path.join(REPO, "_probes", "out", f"ab_{which}.jsonl"), "a") as log:
         log.write(f"# run {time.strftime('%F %T')}\n")

@@ -189,8 +189,16 @@ def _kernel_pop(tpp: int, tmin: float, k1: int, rays, aabb_t, s_ref,
         )
         start += tc
 
-    w_lo = jnp.concatenate(lows, axis=0).astype(jnp.uint32)  # (wp, L)
-    w_hi = jnp.concatenate(highs, axis=0).astype(jnp.uint32)
+    # Mosaic cannot convert f32 <-> u32 in-kernel (found on hardware,
+    # round 5: "Unsupported cast: float32 -> uint32"; interpret accepts
+    # it). The word halves are exact integers < 2^16, so hop through i32
+    # (supported) and bitcast -- identical bits, lowers on device.
+    w_lo = jax.lax.bitcast_convert_type(
+        jnp.concatenate(lows, axis=0).astype(jnp.int32), jnp.uint32
+    )  # (wp, L)
+    w_hi = jax.lax.bitcast_convert_type(
+        jnp.concatenate(highs, axis=0).astype(jnp.int32), jnp.uint32
+    )
     m = w_lo | (w_hi << jnp.uint32(16))
 
     iw = jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)
@@ -201,14 +209,22 @@ def _kernel_pop(tpp: int, tmin: float, k1: int, rays, aabb_t, s_ref,
         wsel = jnp.min(jnp.where(has_w, iw, wp), axis=0, keepdims=True)
         sel = iw == wsel  # (wp, L)
         # exactly one selected row per lane is nonzero and a power of two,
-        # so an f32 sum is exact and its exponent is the bit index
+        # so an f32 sum is exact and its exponent is the bit index.
+        # u32->f32 also fails to lower on Mosaic: bitcast to i32 first
+        # (i32->f32 is supported; bit 31 becomes -2^31, still a power of
+        # two, same exponent field) and mask the sign bit out of the
+        # shifted exponent.
+        low_i = jax.lax.bitcast_convert_type(low_w, jnp.int32)
         lowf = jnp.sum(
-            jnp.where(sel, low_w.astype(jnp.float32), 0.0),
+            jnp.where(sel, low_i.astype(jnp.float32), 0.0),
             axis=0, keepdims=True,
         )
         e = (
-            jax.lax.shift_right_logical(
-                jax.lax.bitcast_convert_type(lowf, jnp.int32), 23
+            (
+                jax.lax.shift_right_logical(
+                    jax.lax.bitcast_convert_type(lowf, jnp.int32), 23
+                )
+                & 0xFF
             )
             - 127
         )
