@@ -46,17 +46,15 @@ KERNELS = [
     ("31_no_megacam", {"RT_MEGA_CAM": "0"}, *SMALL),
 ]
 
+# The grouped-traversal arms measured here in round-5 session 3 (grouped
+# LOST every configuration; ROUNDLOG_r05.md) referred to a backend that
+# has since been deleted -- recover at git tag `grouped-backend-final` to
+# re-run those rows.
 TRAVERSAL = [
     ("73_treelet", {}, *P73),
     ("73_treelet_slots256", {"RT_SLOTS": "256"}, *P73),
-    ("73_grouped", {"RT_TRAVERSE": "grouped"}, *P73),
-    ("73_grouped_nocullpop", {"RT_TRAVERSE": "grouped", "RT_CULL_POP": "0"}, *P73),
-    ("73_grouped_k2b", {"RT_TRAVERSE": "grouped", "RT_K2B": "8"}, *P73),
-    ("73_grouped_split3", {"RT_TRAVERSE": "grouped", "RT_MT_PRECISION": "split3"}, *P73),
     ("73_wavefront_treelet", {"RT_ENGINE": "wavefront"}, *P73),
-    ("73_wavefront_grouped", {"RT_ENGINE": "wavefront", "RT_TRAVERSE": "grouped"}, *P73),
     ("72_treelet", {}, *P72),
-    ("72_grouped", {"RT_TRAVERSE": "grouped"}, *P72),
 ]
 
 

@@ -8,8 +8,8 @@ points of a real camera batch, directions cosine-scattered from the hit
 normal via a cheap LCG-ish hash of the iteration index.
 
 Usage:  python _probes/prof_traverse.py [scene] [lanes] [iters]
-Env: RT_TRAVERSE/RT_SLOTS/RT_K1/RT_K2/RT_CULL_POP/RT_MT_PRECISION/... all
-respected (they configure the backend underneath nearest_hit_bvh).
+Env: RT_SLOTS / RT_TREELET_R0 / RT_TREELET_CAPDIV respected (they
+configure the treelet backend underneath nearest_hit_bvh).
 Prints one JSON line: {"ms_per_bounce": ..., "config": {...}}.
 """
 

@@ -272,13 +272,13 @@ def build_kd_cells(
 def attach_bvh(scn: SceneArrays, statics: SceneStatics,
                max_slots: int | None = None) -> SceneArrays:
     """Reorder+pad the finite table into fixed 128-slot treelet blocks and
-    attach the device traversal arrays (ops/treelet.py + ops/grouped.py).
+    attach the device traversal arrays (ops/treelet.py).
 
     Two partitions:
     * all-triangle scenes: DISJOINT kd cells with duplication
       (``build_kd_cells``) -- entry-distance pruning then collapses the
-      bounce-ray straggler tail (module docstring of ops/grouped.py);
-      ``RT_PARTITION=sah`` forces the SAH cut for A/B comparison.
+      bounce-ray straggler tail; ``RT_PARTITION=sah`` forces the SAH cut
+      for A/B comparison.
     * mixed-shape scenes: SAH subtree treelets (contiguous permutation;
       no duplication), built from the reference's SAH tree (binned here;
       the native C++ builder is tried first, numpy is the fallback).
@@ -413,17 +413,7 @@ def attach_bvh(scn: SceneArrays, statics: SceneStatics,
     aabb = np.ascontiguousarray(
         np.concatenate([tl_min.T, tl_max.T]).astype(np.float32)
     )  # (6, T)
-    grouped = None
-    if not statics.any_nontri:  # all-triangle: build the sorted-pair path
-        from .grouped import build_grouped
-
-        try:
-            grouped = build_grouped(aabb, blocks)
-        except ValueError as e:  # > key capacity: treelet wavefront fallback
-            log.warning("grouped traversal disabled: %s", e)
-    return reordered._replace(
-        bvh=TreeletArrays(aabb=aabb, blocks=blocks, grouped=grouped)
-    )
+    return reordered._replace(bvh=TreeletArrays(aabb=aabb, blocks=blocks))
 
 
 def validate_bvh(host_bvh: _HostBvh, amin: np.ndarray, amax: np.ndarray) -> None:

@@ -47,8 +47,6 @@ class TreeletArrays(NamedTuple):
     # gather was measured 14% slower in the full trace -- separate planes
     # fuse better with their consumers.) Cg = 9 (tri verts) all-triangle,
     # 17 (+ptype, pos, rot) mixed.
-    grouped: "object" = None  # ops.grouped.GroupedArrays for all-triangle
-    # scenes (the sorted-pair fast path); None for mixed-shape tables.
 
 
 def _geom_cols(scn_np, statics) -> list:

@@ -180,25 +180,16 @@ def test_bvh_big_scene(scenes_dir):
     assert treelets > 500
 
 
-def test_grouped_matches_dense_soup(rng, monkeypatch):
-    """The sorted-pair grouped backend (RT_TRAVERSE=grouped) agrees with
-    the dense sweep, including the straggler tiers (rays crossing more
-    than K1 treelets -- the virtual tier and overflow loop)."""
-    monkeypatch.setenv("RT_TRAVERSE", "grouped")
+def test_treelet_odd_batch(rng):
+    """A non-multiple-of-128 batch takes the padding path and still equals
+    the dense sweep."""
     desc = _soup_desc(rng, n=2100)
     arrays, statics = build_scene_arrays(desc)
     arrays = attach_bvh(arrays, statics)
-    assert arrays.bvh.grouped is not None
     arrays_j = jax.tree.map(jnp.asarray, arrays)
     ro, rd = _rand_rays(rng, 4096)
     hd = nearest_hit_dense(ro, rd, arrays_j, statics)
-    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
-    assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
     both = np.asarray(hd.valid)
-    assert np.allclose(
-        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
-    )
-    # odd (non-multiple-of-128) batch takes the padding path
     ro2 = Vec3(ro.x[:1000], ro.y[:1000], ro.z[:1000])
     rd2 = Vec3(rd.x[:1000], rd.y[:1000], rd.z[:1000])
     h2 = nearest_hit_bvh(ro2, rd2, arrays_j, statics)
@@ -229,57 +220,6 @@ def test_treelet_starved_waves(rng, monkeypatch):
     )
 
 
-def test_grouped_residual_waves(rng, monkeypatch):
-    """Starved tier sizing (K1=1, K2=2, compaction capacity floored to one
-    BLOCK) forces virtual-tier overflow AND >K1+K2-crossing rays, so the
-    residual waves (cap3/k3 loop) must produce the exhaustive result."""
-    monkeypatch.setenv("RT_TRAVERSE", "grouped")
-    monkeypatch.setenv("RT_K1", "1")
-    monkeypatch.setenv("RT_K2", "2")
-    monkeypatch.setenv("RT_CAP2_DIV", "1000000")  # cap2 -> BLOCK lanes
-    desc = _soup_desc(rng, n=2100)
-    arrays, statics = build_scene_arrays(desc)
-    arrays = attach_bvh(arrays, statics)
-    arrays_j = jax.tree.map(jnp.asarray, arrays)
-    ro, rd = _rand_rays(rng, 4096)
-    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
-    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
-    assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid))
-    both = np.asarray(hd.valid)
-    assert np.allclose(
-        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
-    )
-
-
-def test_grouped_tier2b_matches_dense(rng, monkeypatch):
-    """The optional third static tier (RT_K2B) produces the exhaustive
-    result: a sane sizing where tier 2b catches the tail wave-free, AND a
-    starved sizing (tiny pops + BLOCK-floored caps) that forces flow
-    through tier 2b into the residual waves."""
-    desc = _soup_desc(rng, n=2100)
-    arrays, statics = build_scene_arrays(desc)
-    arrays = attach_bvh(arrays, statics)
-    arrays_j = jax.tree.map(jnp.asarray, arrays)
-    ro, rd = _rand_rays(rng, 4096)
-    hd = nearest_hit_dense(ro, rd, arrays_j, statics)
-    both = np.asarray(hd.valid)
-
-    monkeypatch.setenv("RT_TRAVERSE", "grouped")
-    for k1, k2, c2, k2b, c2b in ((4, 8, 8, 20, 64), (1, 1, 1000000, 2, 1000000)):
-        monkeypatch.setenv("RT_K1", str(k1))
-        monkeypatch.setenv("RT_K2", str(k2))
-        monkeypatch.setenv("RT_CAP2_DIV", str(c2))
-        monkeypatch.setenv("RT_K2B", str(k2b))
-        monkeypatch.setenv("RT_CAP2B_DIV", str(c2b))
-        hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
-        cfg = (k1, k2, c2, k2b, c2b)
-        assert np.array_equal(np.asarray(hd.valid), np.asarray(hb.valid)), cfg
-        assert np.allclose(
-            np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5,
-            atol=1e-5,
-        ), cfg
-
-
 def test_kd_partition_matches_dense(rng, monkeypatch):
     """The disjoint kd-cell partition (RT_PARTITION=kd, with triangle
     duplication) produces the same nearest hits on both backends."""
@@ -293,11 +233,9 @@ def test_kd_partition_matches_dense(rng, monkeypatch):
     arrays_j = jax.tree.map(jnp.asarray, arrays)
     ro, rd = _rand_rays(rng, 2048)
     hd = nearest_hit_dense(ro, rd, arrays_j, statics)
-    for backend in ("treelet", "grouped"):
-        monkeypatch.setenv("RT_TRAVERSE", backend)
-        hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
-        both = np.asarray(hd.valid)
-        assert np.array_equal(both, np.asarray(hb.valid)), backend
-        assert np.allclose(
-            np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
-        ), backend
+    hb = nearest_hit_bvh(ro, rd, arrays_j, statics)
+    both = np.asarray(hd.valid)
+    assert np.array_equal(both, np.asarray(hb.valid))
+    assert np.allclose(
+        np.asarray(hb.t)[both], np.asarray(hd.t)[both], rtol=1e-5, atol=1e-5
+    )

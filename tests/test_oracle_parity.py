@@ -128,7 +128,7 @@ def test_oracle_smooth_mesh():
 @pytest.mark.slow
 def test_oracle_big_mesh(scenes_dir):
     """practice7_3 (99,950-triangle organic mesh): the estimator-level
-    anchor for the big-scene class where the treelet/grouped traversal
+    anchor for the big-scene class where the treelet traversal
     machinery lives. The oracle takes its vectorized-dense f64 scan
     (still production-independent); production runs the BVH backend."""
     from raytracing_course_2024_tpu.scene import load_scene

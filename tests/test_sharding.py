@@ -274,62 +274,6 @@ def test_sticky_sharded_matches_wavefront():
 
 
 @pytest.mark.slow
-def test_grouped_sharded_matches_single_device(monkeypatch):
-    """Grouped traversal (sorts + compactions + scatter-merges) under
-    shard_map: a 4x2 mesh frame of a BVH triangle-soup scene must match
-    the single-device wavefront render per sample (same global work-item
-    RNG; fp order may differ). Guards the vma rules of the combined-tier
-    sweep and its residual waves."""
-    from raytracing_course_2024_tpu.integrator.wavefront import (
-        render_wavefront,
-    )
-    from raytracing_course_2024_tpu.ops.bvh import attach_bvh
-    from tests.test_bvh import _soup_desc
-
-    monkeypatch.setenv("RT_TRAVERSE", "grouped")
-    rng = np.random.default_rng(5)
-    desc = _soup_desc(rng, n=900)
-    arrays, statics = build_scene_arrays(desc)
-    arrays = attach_bvh(arrays, statics)
-    arrays = jax.tree.map(
-        lambda x: jnp.asarray(x) if x is not None else None, arrays
-    )
-    cam = camera_arrays(desc.settings.camera)
-    cfg = TraceConfig(ray_depth=2, bg_color=(0.1, 0.1, 0.2), backend="bvh")
-    w, h, spp = 16, 8, 8
-    img_sh = hw3(
-        render_frame_sharded(
-            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
-            w, h, spp, make_mesh(4, 2), engine="wavefront",
-        )
-    )
-    img_1, _ = render_wavefront(
-        jnp.uint32(0), jnp.int32(0), jnp.int32(0), cam, arrays, statics,
-        cfg, w, h, w * h, spp, 1024,
-    )
-    img_1 = hw3(np.asarray(img_1).reshape(3, h, w))
-    assert np.isfinite(img_sh).all()
-    assert np.allclose(img_sh, img_1, rtol=1e-4, atol=1e-5), np.abs(
-        img_sh - img_1
-    ).max()
-
-    # tier-2b (RT_K2B) adds a second compaction + scatter-merge layer:
-    # same vma rules, same exhaustive result under the mesh
-    monkeypatch.setenv("RT_K1", "1")
-    monkeypatch.setenv("RT_K2", "2")
-    monkeypatch.setenv("RT_K2B", "3")
-    img_2b = hw3(
-        render_frame_sharded(
-            jax.random.PRNGKey(0), arrays, statics, cam, cfg,
-            w, h, spp, make_mesh(4, 2), engine="wavefront",
-        )
-    )
-    assert np.allclose(img_2b, img_1, rtol=1e-4, atol=1e-5), np.abs(
-        img_2b - img_1
-    ).max()
-
-
-@pytest.mark.slow
 def test_checkpoint_resume_under_sharded_render(tmp_path):
     """VERDICT r3 next #8: checkpoint/resume MID-FRAME on the 8-device
     mesh. A 16-spp frame renders in 4-spp chunks through ShardedRenderer
