@@ -81,9 +81,26 @@ def run_one(label, envov, scene, w, h, spp, log):
     log.flush()
 
 
+# Round-5 session-4: the treelet straggler-phase knobs (VERDICT r4 weak #1
+# named "straggler behavior on incoherent bounces" as the known next
+# lever) -- never hardware-swept. R0 = full-batch rounds before waves
+# (default 3 ~ p95 crossings 5); CAPDIV = wave width divisor (default 16,
+# only 16-vs-old-8-single-shot was ever measured). Baseline 73_treelet =
+# 4.15 Mrays/s (ab_traversal.jsonl, measured twice this round).
+STRAGGLER = [
+    ("73_r0_2", {"RT_TREELET_R0": "2"}, *P73),
+    ("73_r0_4", {"RT_TREELET_R0": "4"}, *P73),
+    ("73_r0_5", {"RT_TREELET_R0": "5"}, *P73),
+    ("73_cap8", {"RT_TREELET_CAPDIV": "8"}, *P73),
+    ("73_cap32", {"RT_TREELET_CAPDIV": "32"}, *P73),
+    ("73_r0_4_cap32", {"RT_TREELET_R0": "4", "RT_TREELET_CAPDIV": "32"}, *P73),
+]
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
+              "straggler": STRAGGLER,
               "all": KERNELS + TRAVERSAL}[which]
     if len(sys.argv) > 2:  # optional label filter for reruns
         names = set(sys.argv[2:])
