@@ -97,10 +97,21 @@ STRAGGLER = [
 ]
 
 
+P61 = ("practice6_1.gltf", 640, 480, 16)
+
+# Post-flip confirmation of the new (R0=4, CAPDIV=32) treelet defaults on
+# every bvh-family config (the sweep only measured practice7_3).
+CONFIRM = [
+    ("73_new_defaults", {}, *P73),
+    ("72_new_defaults", {}, *P72),
+    ("61_new_defaults", {}, *P61),
+]
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
-              "straggler": STRAGGLER,
+              "straggler": STRAGGLER, "confirm": CONFIRM,
               "all": KERNELS + TRAVERSAL}[which]
     if len(sys.argv) > 2:  # optional label filter for reruns
         names = set(sys.argv[2:])

@@ -253,7 +253,13 @@ def nearest_hit_treelet(
     # --- phase 1: up to R0 full-batch rounds (covers ~p95 of rays) ---
     import os as _os
 
-    R0 = int(_os.environ.get("RT_TREELET_R0", "3"))
+    # R0/CAPDIV defaults from the round-5 session-4 hardware sweep
+    # (practice7_3 e2e, _probes/out/ab_straggler.jsonl): (4, 32) = 4.31
+    # Mrays/s vs (3, 16) = 4.15; each knob alone is neutral-to-negative
+    # (R0=2: 2.86, R0=5: 3.80, CAPDIV=8: 3.75, CAPDIV=32 alone: 4.15) --
+    # one extra full round drains most stragglers, and the remaining few
+    # drain cheaper through narrower waves.
+    R0 = int(_os.environ.get("RT_TREELET_R0", "4"))
 
     def p1_cond(carry):
         k, state = carry
@@ -277,7 +283,7 @@ def nearest_hit_treelet(
     # design fell back to full-width rounds when stragglers exceeded cap;
     # cap/16 waves measured 44 vs 55 ms/262k-bounce on practice7_3
     # bounce rays vs the old cap/8 single shot). ---
-    cap = max(b // int(_os.environ.get("RT_TREELET_CAPDIV", "16")), 1024)
+    cap = max(b // int(_os.environ.get("RT_TREELET_CAPDIV", "32")), 1024)
 
     def waves_left(st):
         nxt, best_t, _ = st
