@@ -94,6 +94,7 @@ STRAGGLER = [
     ("73_cap8", {"RT_TREELET_CAPDIV": "8"}, *P73),
     ("73_cap32", {"RT_TREELET_CAPDIV": "32"}, *P73),
     ("73_r0_4_cap32", {"RT_TREELET_R0": "4", "RT_TREELET_CAPDIV": "32"}, *P73),
+    ("73_r0_4_cap64", {"RT_TREELET_R0": "4", "RT_TREELET_CAPDIV": "64"}, *P73),
 ]
 
 
@@ -107,11 +108,34 @@ CONFIRM = [
     ("61_new_defaults", {}, *P61),
 ]
 
+# Session-5: e2e lane-count sweep for the bvh wavefront. Round 1 set
+# BVH_BATCH=262144 after measuring only 512k (worse, commit 89f094c);
+# below-262k was never swept, and the session-4 traversal-only probe
+# measured 6.21 Mrays/s at 131k lanes vs 4.31 e2e at 262k. RT_BENCH_BATCH
+# flows to Renderer(batch_size=) -> wavefront lanes.
+LANES = [
+    ("73_lanes_64k", {"RT_BENCH_BATCH": "65536"}, *P73),
+    ("73_lanes_131k", {"RT_BENCH_BATCH": "131072"}, *P73),
+    ("73_lanes_196k", {"RT_BENCH_BATCH": "196608"}, *P73),
+    ("73_lanes_524k", {"RT_BENCH_BATCH": "524288"}, *P73),
+]
+
+# Session-5: per-scene straggler check -- practice6_1 (16k-tri mesh, small
+# treelet table) lost 3% under the new global (R0=4, CAPDIV=32) defaults;
+# measure whether the old knobs (or intermediates) are the small-mesh
+# optimum before deciding a per-scene rule.
+STRAGGLER61 = [
+    ("61_r0_3_cap16", {"RT_TREELET_R0": "3", "RT_TREELET_CAPDIV": "16"}, *P61),
+    ("61_r0_3_cap32", {"RT_TREELET_R0": "3", "RT_TREELET_CAPDIV": "32"}, *P61),
+    ("61_r0_4_cap16", {"RT_TREELET_R0": "4", "RT_TREELET_CAPDIV": "16"}, *P61),
+]
+
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
               "straggler": STRAGGLER, "confirm": CONFIRM,
+              "lanes": LANES, "straggler61": STRAGGLER61,
               "all": KERNELS + TRAVERSAL}[which]
     if len(sys.argv) > 2:  # optional label filter for reruns
         names = set(sys.argv[2:])
