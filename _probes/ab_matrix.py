@@ -120,6 +120,26 @@ LANES = [
     ("73_lanes_524k", {"RT_BENCH_BATCH": "524288"}, *P73),
 ]
 
+# Session-5 follow-up: the first lanes sweep came back monotonic downward
+# (64k=4.79 > 131k=4.65 > 196k=4.48 > 262k-default=4.31) -- extend below
+# 64k and test straggler-knob interaction at 64k (cap = lanes/CAPDIV, so
+# the 64k default wave width is 2048).
+LANES2 = [
+    ("73_lanes_32k", {"RT_BENCH_BATCH": "32768"}, *P73),
+    ("73_lanes_48k", {"RT_BENCH_BATCH": "49152"}, *P73),
+    ("73_lanes_96k", {"RT_BENCH_BATCH": "98304"}, *P73),
+    ("73_lanes_64k_cap16", {"RT_BENCH_BATCH": "65536", "RT_TREELET_CAPDIV": "16"}, *P73),
+    ("73_lanes_64k_r0_3", {"RT_BENCH_BATCH": "65536", "RT_TREELET_R0": "3"}, *P73),
+]
+
+# Session-5: the curve kept climbing below 64k (32k=4.92) -- find the knee.
+# At 16k lanes the wave cap clamps to its 1024 floor (= B/16).
+LANES3 = [
+    ("73_lanes_16k", {"RT_BENCH_BATCH": "16384"}, *P73),
+    ("73_lanes_24k", {"RT_BENCH_BATCH": "24576"}, *P73),
+    ("73_lanes_8k", {"RT_BENCH_BATCH": "8192"}, *P73),
+]
+
 # Session-5: per-scene straggler check -- practice6_1 (16k-tri mesh, small
 # treelet table) lost 3% under the new global (R0=4, CAPDIV=32) defaults;
 # measure whether the old knobs (or intermediates) are the small-mesh
@@ -135,7 +155,8 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
               "straggler": STRAGGLER, "confirm": CONFIRM,
-              "lanes": LANES, "straggler61": STRAGGLER61,
+              "lanes": LANES, "lanes2": LANES2, "lanes3": LANES3,
+              "straggler61": STRAGGLER61,
               "all": KERNELS + TRAVERSAL}[which]
     if len(sys.argv) > 2:  # optional label filter for reruns
         names = set(sys.argv[2:])
