@@ -140,6 +140,16 @@ LANES3 = [
     ("73_lanes_8k", {"RT_BENCH_BATCH": "8192"}, *P73),
 ]
 
+# Session-5: 16k is the 7_3 peak (5.31, +23% over the 262k default; 8k
+# = 5.28, 24k = 5.02). Confirm 16k cross-scene + re-check R0 there (at
+# 16k lanes the 1024 wave floor makes CAPDIV>=16 equivalent).
+LANES16K = [
+    ("73_16k_r0_5", {"RT_BENCH_BATCH": "16384", "RT_TREELET_R0": "5"}, *P73),
+    ("72_lanes_16k", {"RT_BENCH_BATCH": "16384"}, *P72),
+    ("61_lanes_16k", {"RT_BENCH_BATCH": "16384"}, *P61),
+    ("61_lanes_16k_r0_3", {"RT_BENCH_BATCH": "16384", "RT_TREELET_R0": "3"}, *P61),
+]
+
 # Session-5: per-scene straggler check -- practice6_1 (16k-tri mesh, small
 # treelet table) lost 3% under the new global (R0=4, CAPDIV=32) defaults;
 # measure whether the old knobs (or intermediates) are the small-mesh
@@ -156,6 +166,7 @@ def main():
     combos = {"kernels": KERNELS, "traversal": TRAVERSAL,
               "straggler": STRAGGLER, "confirm": CONFIRM,
               "lanes": LANES, "lanes2": LANES2, "lanes3": LANES3,
+              "lanes16k": LANES16K,
               "straggler61": STRAGGLER61,
               "all": KERNELS + TRAVERSAL}[which]
     if len(sys.argv) > 2:  # optional label filter for reruns

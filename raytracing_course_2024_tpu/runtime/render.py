@@ -27,7 +27,15 @@ from ..scene.types import SceneDesc
 log = logging.getLogger("rt_tpu")
 
 DEFAULT_BATCH = 1_048_576  # ~1M lanes amortizes per-fusion overheads (measured)
-BVH_BATCH = 262_144  # treelet path: (B, T) key passes cap the useful batch
+BVH_BATCH = 262_144  # batch-ENGINE bvh renders: each batch is a separate
+# dispatch (~29 ms relay round-trip), so fine splitting is dispatch-bound
+WAVEFRONT_LANES = 16_384  # persistent-lane count for the wavefront/sticky
+# engines: hardware-swept optimum (round-5 session-5, ab_lanes*.jsonl) --
+# the e2e curve falls monotonically above it (practice7_3: 16k=5.31,
+# 32k=4.92, 64k=4.79, 262k=4.31, 524k=3.96 Mrays/s; 8k=5.28) and every
+# bvh-family scene wins at 16k (7_2 +12%, 6_1 +25% over 262k). The old
+# "~1M lanes amortize" rule is a DENSE-family rule; the treelet loop's
+# whole-batch (B, T) round passes charge dead padding at large B.
 BVH_THRESHOLD = 2048  # finite prims above this use the BVH backend
 
 
@@ -58,9 +66,6 @@ class Renderer:
             arrays = attach_bvh(arrays, statics)
         self.arrays = jax.tree.map(jnp.asarray, arrays)
         self.backend = backend
-        if backend == "bvh" and batch_size == DEFAULT_BATCH:
-            batch_size = BVH_BATCH
-        self.batch_size = batch_size
         # engine: "batch" = fixed lane batches through the depth scan;
         # "wavefront" = persistent lanes with counter-coordinated path
         # regeneration (integrator/wavefront.py) -- the default for the BVH
@@ -73,6 +78,15 @@ class Renderer:
             engine = "wavefront" if backend == "bvh" else "batch"
         assert engine in ("batch", "wavefront", "sticky"), engine
         self.engine = engine
+        if backend == "bvh" and batch_size == DEFAULT_BATCH:
+            # engine-aware default: lane-engines peak at small wavefronts
+            # (one jitted program, no per-batch dispatch); the batch engine
+            # pays a relay round-trip per batch and wants them big
+            batch_size = (
+                WAVEFRONT_LANES if engine in ("wavefront", "sticky")
+                else BVH_BATCH
+            )
+        self.batch_size = batch_size
         self.cam = camera_arrays(self.settings.camera)
         if russian_roulette is None:
             russian_roulette = os.environ.get("RT_RR") == "1"
